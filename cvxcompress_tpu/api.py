@@ -1,0 +1,116 @@
+"""Public API, shaped by the reference's class CvxCompress (CvxCompress.hxx:19-135).
+
+Two backends:
+  - "jax":    the TPU-native path (batched MXU wavelet transform, vectorized
+              scan-based entropy coder) — the default.
+  - "oracle": the NumPy reference-semantics codec (format authority).
+
+Both emit the identical container format; the entropy stage is bit-exact
+between backends.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import container as ctn
+
+# flipped to "jax" when the TPU path lands (ops/codec.py)
+DEFAULT_BACKEND = "oracle"
+
+
+def compress(vol, scale, block=(32, 32, 32), use_local_rms=False, backend=DEFAULT_BACKEND):
+    """Compress a (nz, ny, nx) float32 volume.
+
+    Returns (container uint8 ndarray, compression ratio).  Mirrors
+    CvxCompress::Compress (CvxCompress.hxx:32-94): `scale` is the relative
+    quantization scale, `block` the power-of-two block dims (bz may be 1 for
+    2D volumes), `use_local_rms` switches to per-block RMS quantization.
+    """
+    if backend == "oracle":
+        from .oracle import codec as impl
+
+        return impl.compress(vol, scale, block=block, use_local_rms=use_local_rms)
+    elif backend == "jax":
+        from .ops import codec as impl
+
+        return impl.compress(vol, scale, block=block, use_local_rms=use_local_rms)
+    raise ValueError(f"unknown backend {backend!r}")
+
+
+def decompress(data, backend=DEFAULT_BACKEND):
+    """Decompress a container to a (nz, ny, nx) float32 volume.
+
+    Accepts containers produced by either backend or by the reference
+    library (offset-table driven, payload order independent).
+    """
+    if backend == "oracle":
+        from .oracle import codec as impl
+
+        return impl.decompress(data)
+    elif backend == "jax":
+        from .ops import codec as impl
+
+        return impl.decompress(data)
+    raise ValueError(f"unknown backend {backend!r}")
+
+
+class CvxCompress:
+    """Drop-in style class mirroring the reference API surface.
+
+    Reference: CvxCompress.hxx:19-135.  The thread-count parameters of the
+    reference overloads have no TPU equivalent and are accepted/ignored.
+    """
+
+    @staticmethod
+    def Min_BX():
+        return ctn.MIN_B
+
+    @staticmethod
+    def Max_BX():
+        return ctn.MAX_B
+
+    Min_BY = Min_BX
+    Max_BY = Max_BX
+    Min_BZ = Min_BX
+    Max_BZ = Max_BX
+
+    @staticmethod
+    def Is_Valid_Block_Size(bx, by, bz):
+        return ctn.is_valid_block_size(bx, by, bz)
+
+    def __init__(self, backend=DEFAULT_BACKEND):
+        self.backend = backend
+
+    def Compress(self, scale, vol, bx, by, bz, use_local_RMS=False, num_threads=None):
+        """Returns (container, ratio). `num_threads` accepted for parity, unused."""
+        del num_threads
+        data, ratio = compress(
+            vol, scale, block=(bx, by, bz), use_local_rms=use_local_RMS,
+            backend=self.backend,
+        )
+        return data, ratio
+
+    def Decompress(self, compressed, num_threads=None):
+        """Out-of-place decompress; returns the volume (CvxCompress.hxx:97-122)."""
+        del num_threads
+        return decompress(compressed, backend=self.backend)
+
+    @staticmethod
+    def Run_Module_Tests(verbose=False, exhaustive=False):
+        """Run the test suite (reference: CvxCompress.hxx:133). Uses pytest."""
+        import subprocess
+        import sys
+
+        args = [sys.executable, "-m", "pytest", "tests/", "-x", "-q"]
+        if verbose:
+            args.remove("-q")
+            args.append("-v")
+        if exhaustive:
+            args += ["-m", ""]
+        return subprocess.call(args) == 0
+
+
+def to_bytes(data) -> bytes:
+    """Container ndarray -> bytes (for file IO)."""
+    return np.asarray(data, dtype=np.uint8).tobytes()
