@@ -15,8 +15,7 @@ import numpy as np
 
 from . import container as ctn
 
-# flipped to "jax" when the TPU path lands (ops/codec.py)
-DEFAULT_BACKEND = "oracle"
+DEFAULT_BACKEND = "jax"
 
 
 def compress(vol, scale, block=(32, 32, 32), use_local_rms=False, backend=DEFAULT_BACKEND):

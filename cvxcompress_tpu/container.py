@@ -138,6 +138,47 @@ def pack(header, payloads, raw_flags, blkmulfac=None):
     return out
 
 
+def pack_stream(header, sizes, raw_flags, stream, blkmulfac=None):
+    """Assemble the container from a pre-concatenated payload stream.
+
+    `sizes` (nnn,) int per-block payload sizes in block order, `stream` the
+    concatenated payload bytes (uint8 ndarray, length >= sum(sizes)),
+    `raw_flags` (nnn,) bool.  Same layout as `pack` without per-block copies.
+    """
+    nnn = header.grid[3]
+    sizes = np.asarray(sizes, dtype=np.int64)
+    assert sizes.shape == (nnn,)
+    offs = np.cumsum(sizes) - sizes
+    blkoffs = np.where(np.asarray(raw_flags, dtype=bool), offs | RAW_FLAG, offs)
+
+    total_payload = int(sizes.sum())
+    length = HEADER_BYTES + 8 * nnn + total_payload + SLACK_BYTES
+    if header.use_local_rms:
+        length += 4 * nnn
+
+    out = np.zeros(length, dtype=np.uint8)
+    head = np.array(
+        [header.nx, header.ny, header.nz, header.bx, header.by, header.bz],
+        dtype=np.uint32,
+    )
+    out[0:24] = head.view(np.uint8)
+    out[24:28] = np.array([header.glob_mulfac], dtype=F32).view(np.uint8)
+    out[28:32] = np.array(
+        [FLAG_LOCAL_RMS if header.use_local_rms else 0], dtype=np.uint32
+    ).view(np.uint8)
+    pos = HEADER_BYTES
+    out[pos : pos + 8 * nnn] = blkoffs.view(np.uint8)
+    pos += 8 * nnn
+    if header.use_local_rms:
+        assert blkmulfac is not None and len(blkmulfac) == nnn
+        out[pos : pos + 4 * nnn] = np.asarray(blkmulfac, dtype=F32).view(np.uint8)
+        pos += 4 * nnn
+    out[pos : pos + total_payload] = np.asarray(stream, dtype=np.uint8)[
+        :total_payload
+    ]
+    return out
+
+
 def unpack(data):
     """Parse a container (ours or reference-produced).
 

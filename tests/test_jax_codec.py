@@ -1,0 +1,119 @@
+"""End-to-end TPU-backend codec: round trips, cross-backend compatibility."""
+
+import numpy as np
+import pytest
+
+import cvxcompress_tpu as cvx
+from cvxcompress_tpu import container as ctn
+from cvxcompress_tpu.oracle import codec as ocodec
+from cvxcompress_tpu.oracle import rle as orle
+from cvxcompress_tpu.ops import codec as jcodec
+
+from conftest import make_radial_volume, make_sinusoid_volume, rel_error_and_snr
+
+F32 = np.float32
+
+
+def test_roundtrip_sinusoid_quality_bars():
+    vol = make_sinusoid_volume(96, 64, 64, periods=3)
+    data, ratio = jcodec.compress(vol, 1e-2, block=(32, 32, 32))
+    out = jcodec.decompress(data)
+    err, snr = rel_error_and_snr(vol, out)
+    assert err < 2e-4, err
+    assert snr > 75.0, snr
+    assert ratio > 500.0
+
+
+def test_roundtrip_radial_partial_blocks():
+    vol = make_radial_volume(nz=19, ny=27, nx=41)
+    data, ratio = jcodec.compress(vol, 1e-2, block=(16, 16, 16))
+    out = jcodec.decompress(data)
+    err, _ = rel_error_and_snr(vol, out)
+    assert err < 1e-2
+    # quantizer correctness: error shrinks with scale
+    data2, _ = jcodec.compress(vol, 1e-4, block=(16, 16, 16))
+    err2, _ = rel_error_and_snr(vol, jcodec.decompress(data2))
+    assert err2 < err / 10
+
+
+def test_cross_backend_decode():
+    # jax-compressed containers decode with the oracle backend and vice versa
+    vol = make_radial_volume(nz=16, ny=24, nx=32)
+    dj, _ = jcodec.compress(vol, 1e-2, block=(8, 8, 8))
+    do, _ = ocodec.compress(vol, 1e-2, block=(8, 8, 8))
+    outs = [
+        ocodec.decompress(dj),
+        jcodec.decompress(dj),
+        ocodec.decompress(do),
+        jcodec.decompress(do),
+    ]
+    for o in outs:
+        err, _ = rel_error_and_snr(vol, o)
+        assert err < 1e-2
+    # decoding the SAME container must agree bitwise across backends
+    # (identical entropy decode; identical-to-1e-5 inverse transforms would
+    # differ bitwise, so compare payload-level decode instead below)
+    np.testing.assert_allclose(outs[0], outs[1], atol=2e-5 * np.abs(vol).max())
+
+
+def test_container_bit_equality_same_coefficients():
+    # downstream of the transform, the two backends are bit-identical:
+    # feed the SAME coefficients through both entropy stages
+    import jax.numpy as jnp
+
+    from cvxcompress_tpu.ops import rle_device, wavelet
+
+    r = np.random.default_rng(5)
+    blocks = r.standard_normal((6, 8, 8, 8)).astype(F32)
+    coeffs = np.asarray(wavelet.forward_3d(jnp.asarray(blocks)))
+    mf = F32(0.37)
+    flat = coeffs.reshape(6, -1)
+    tok, off, sizes, raw = rle_device.encode_blocks(
+        jnp.asarray(flat), jnp.full((6,), mf, dtype=jnp.float32)
+    )
+    sizes_h = np.asarray(sizes)
+    total = int(sizes_h.sum())
+    stream = np.asarray(
+        rle_device.compact(tok, off, sizes, rle_device.bucket_cap(total))
+    )[:total]
+    pos = 0
+    for i in range(6):
+        expect = orle.encode(mf, flat[i])
+        got = stream[pos : pos + sizes_h[i]].tobytes()
+        assert got == expect, f"block {i} differs"
+        pos += sizes_h[i]
+
+
+def test_local_rms_roundtrip():
+    vol = make_radial_volume(nz=16, ny=16, nx=16)
+    data, _ = jcodec.compress(vol, 1e-2, block=(8, 8, 8), use_local_rms=True)
+    hdr, _, blkmf, _ = ctn.unpack(data)
+    assert hdr.use_local_rms and blkmf is not None and np.all(blkmf > 0)
+    out = jcodec.decompress(data)
+    err, _ = rel_error_and_snr(vol, out)
+    assert err < 1e-2
+
+
+def test_2d_volume():
+    vol = make_radial_volume(nz=1, ny=32, nx=32)
+    data, _ = jcodec.compress(vol, 1e-2, block=(16, 16, 1))
+    out = jcodec.decompress(data)
+    err, _ = rel_error_and_snr(vol, out)
+    assert err < 1e-2
+
+
+def test_public_api_jax_backend():
+    vol = make_sinusoid_volume(64, 32, 32, periods=2)
+    data, ratio = cvx.compress(vol, 1e-2, block=(32, 32, 32), backend="jax")
+    out = cvx.decompress(data, backend="jax")
+    err, snr = rel_error_and_snr(vol, out)
+    assert err < 2e-4 and snr > 75.0
+
+
+def test_compressed_size_close_to_oracle():
+    # transforms differ at ~1e-6 so sizes can differ slightly at quantization
+    # boundaries; they must stay within a fraction of a percent
+    vol = make_radial_volume(nz=16, ny=24, nx=32)
+    dj, _ = jcodec.compress(vol, 1e-2, block=(8, 8, 8))
+    do, _ = ocodec.compress(vol, 1e-2, block=(8, 8, 8))
+    assert abs(int(dj.size) - int(do.size)) <= max(64, 0.01 * do.size)
