@@ -1,8 +1,10 @@
 """Public API, shaped by the reference's class CvxCompress (CvxCompress.hxx:19-135).
 
-Two backends:
+Three backends:
   - "jax":    the TPU-native path (batched MXU wavelet transform, vectorized
               scan-based entropy coder) — the default.
+  - "native": the multithreaded C++ host codec (native/libcvxhost.so), also
+              exposed as a reference-compatible C ABI for FFI consumers.
   - "oracle": the NumPy reference-semantics codec (format authority).
 
 Both emit the identical container format; the entropy stage is bit-exact
@@ -34,6 +36,12 @@ def compress(vol, scale, block=(32, 32, 32), use_local_rms=False, backend=DEFAUL
         from .ops import codec as impl
 
         return impl.compress(vol, scale, block=block, use_local_rms=use_local_rms)
+    elif backend == "native":
+        from .ops import rle_host
+
+        return rle_host.host_compress(
+            vol, scale, block=block, use_local_rms=use_local_rms
+        )
     raise ValueError(f"unknown backend {backend!r}")
 
 
@@ -51,6 +59,10 @@ def decompress(data, backend=DEFAULT_BACKEND):
         from .ops import codec as impl
 
         return impl.decompress(data)
+    elif backend == "native":
+        from .ops import rle_host
+
+        return rle_host.host_decompress(data)
     raise ValueError(f"unknown backend {backend!r}")
 
 

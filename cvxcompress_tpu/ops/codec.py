@@ -92,17 +92,24 @@ def _decode_payloads_host(data, hdr, blkoffs, blkmulfac, payload_base):
     nnn = hdr.grid[3]
     bx, by, bz = hdr.bx, hdr.by, hdr.bz
     cells = bx * by * bz
-    coeffs = np.empty((nnn, cells), dtype=F32)
 
     try:
         from . import rle_host
 
-        decoder = rle_host.decode_block if rle_host.available() else None
+        native = rle_host.available()
     except Exception:
-        decoder = None
+        native = False
+
+    if native:
+        return rle_host.decode_payloads(
+            raw[payload_base:], blkoffs,
+            blkmulfac if hdr.use_local_rms else None,
+            hdr.glob_mulfac, cells,
+        )
 
     from ..oracle import rle as orle
 
+    coeffs = np.empty((nnn, cells), dtype=F32)
     for ib in range(nnn):
         off = int(blkoffs[ib])
         is_raw = off < 0
@@ -112,10 +119,7 @@ def _decode_payloads_host(data, hdr, blkoffs, blkmulfac, payload_base):
             coeffs[ib] = raw[start : start + 4 * cells].copy().view(F32)
         else:
             mulfac = blkmulfac[ib] if hdr.use_local_rms else hdr.glob_mulfac
-            if decoder is not None:
-                coeffs[ib] = decoder(mulfac, raw[start:], cells)
-            else:
-                coeffs[ib], _ = orle.decode(mulfac, raw[start:], cells)
+            coeffs[ib], _ = orle.decode(mulfac, raw[start:], cells)
     return coeffs
 
 
