@@ -1,0 +1,201 @@
+"""Multi-chip block-data-parallel compress/decompress (shard_map + pjit).
+
+TPU-native replacement for the reference's OpenMP fan-out
+(CvxCompress.cpp:318): the (nnn, bz, by, bx) block batch shards along a 1D
+device mesh; every chip runs the identical SPMD program (MXU wavelet +
+vectorized entropy encode + per-shard compaction).  The two cross-device
+couplings of the algorithm:
+
+  * global RMS — a sum reduction.  The API path computes it on host in f64
+    (the container contract, see ops/quant.py); `distributed_sumsq` provides
+    the on-device psum variant for device-resident volumes.
+  * the payload byte-offset table — the reference serializes on an
+    omp-critical byte cursor (CvxCompress.cpp:370-374, payload order
+    nondeterministic); here per-block sizes flow through exclusive prefix
+    sums (within shard on device, across shards on host), so the container
+    is deterministic and bit-identical to the single-chip path.
+
+Containers produced under any mesh size are byte-identical to each other
+and to the single-chip backend (tested in tests/test_parallel.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+try:
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import PartitionSpec as P
+
+from .. import container as ctn
+from ..ops import blocks as blkops
+from ..ops import quant, rle_device, wavelet
+from . import mesh as meshlib
+
+F32 = np.float32
+
+
+def distributed_sumsq(vol_sharded, mesh):
+    """On-device sum of squares with a psum all-reduce over the mesh.
+
+    For volumes already resident/sharded on device.  f32 tree reduction —
+    agrees with the host f64 contract to ~1e-6 relative; the API path keeps
+    host f64 for container bit-stability.
+    """
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=P(meshlib.BLOCK_AXIS), out_specs=P(),
+    )
+    def _ss(shard):
+        return jax.lax.psum(
+            jnp.sum(jnp.square(shard.astype(jnp.float32))),
+            meshlib.BLOCK_AXIS,
+        )[None]
+
+    return jax.jit(_ss)(vol_sharded)[0]
+
+
+@functools.lru_cache(maxsize=None)
+def _stage1(mesh, use_local):
+    """Sharded forward + tokenize. Cached per (mesh, mode)."""
+    spec_b = P(meshlib.BLOCK_AXIS)
+
+    def run(blocks, glob_mf, scale):
+        coeffs = wavelet.forward_3d(blocks)
+        n = coeffs.shape[0]
+        if use_local:
+            mf = quant.mulfac_from_rms(quant.local_rms(coeffs), scale)
+        else:
+            mf = jnp.broadcast_to(glob_mf, (n,)).astype(jnp.float32)
+        tok, off, sizes, raw = rle_device.encode_blocks(
+            coeffs.reshape(n, -1), mf
+        )
+        return tok, off, sizes, raw, mf
+
+    sm = shard_map(
+        run, mesh=mesh,
+        in_specs=(P(meshlib.BLOCK_AXIS, None, None, None), P(), P()),
+        out_specs=(spec_b, spec_b, spec_b, spec_b, spec_b),
+    )
+    return jax.jit(sm)
+
+
+@functools.lru_cache(maxsize=None)
+def _stage2(mesh, cap):
+    """Sharded per-shard compaction at static capacity. Cached per (mesh, cap)."""
+
+    def run(tok, off, sizes):
+        return rle_device.compact(tok, off, sizes, cap)[None]
+
+    sm = shard_map(
+        run, mesh=mesh,
+        in_specs=(
+            P(meshlib.BLOCK_AXIS, None, None),
+            P(meshlib.BLOCK_AXIS, None),
+            P(meshlib.BLOCK_AXIS),
+        ),
+        out_specs=P(meshlib.BLOCK_AXIS, None),
+    )
+    return jax.jit(sm)
+
+
+def compress(vol, scale, block=(32, 32, 32), use_local_rms=False, mesh=None):
+    """Sharded compress. Container bit-identical to the single-chip backend."""
+    vol = np.ascontiguousarray(vol, dtype=F32)
+    nz, ny, nx = vol.shape
+    bx, by, bz = block
+    assert ctn.is_valid_block_size(bx, by, bz), "invalid block size"
+    cells = bx * by * bz
+    if mesh is None:
+        mesh = meshlib.make_mesh()
+    n_shards = mesh.devices.size
+
+    glob_mulfac = (
+        F32(1.0)
+        if use_local_rms
+        else ctn.compute_glob_mulfac(quant.global_rms_host(vol), scale)
+    )
+
+    blocks = blkops.to_blocks_np(vol, block)
+    nnn = blocks.shape[0]
+    pad = meshlib.pad_to_shards(nnn, n_shards)
+    if pad:
+        blocks = np.concatenate(
+            [blocks, np.zeros((pad,) + blocks.shape[1:], dtype=F32)]
+        )
+    blocks_d = jax.device_put(blocks, meshlib.block_sharding(mesh))
+
+    tok, off, sizes, raw, mf = _stage1(mesh, use_local_rms)(
+        blocks_d, jnp.float32(glob_mulfac), jnp.float32(scale)
+    )
+    sizes_h = np.asarray(sizes)
+    raw_h = np.asarray(raw)[:nnn]
+    per_shard = sizes_h.reshape(n_shards, -1)
+    shard_totals = per_shard.sum(axis=1)
+    cap = rle_device.bucket_cap(int(shard_totals.max()))
+    streams = np.asarray(_stage2(mesh, cap)(tok, off, sizes))
+
+    # host-side ordered gather: per-shard streams -> file-ordered payload.
+    # pad blocks sit at the tail of the last shard; dropping their sizes
+    # truncates exactly their bytes.
+    real_sizes = sizes_h[:nnn]
+    parts = []
+    blocks_per_shard = (nnn + pad) // n_shards
+    for s in range(n_shards):
+        lo = s * blocks_per_shard
+        hi = min((s + 1) * blocks_per_shard, nnn)
+        if hi <= lo:
+            break
+        nbytes = int(sizes_h[lo:hi].sum())
+        parts.append(streams[s, :nbytes])
+    payload = np.concatenate(parts) if parts else np.zeros(0, dtype=np.uint8)
+
+    hdr = ctn.Header(nx, ny, nz, bx, by, bz, glob_mulfac, use_local_rms)
+    data = ctn.pack_stream(
+        hdr, real_sizes, raw_h, payload,
+        np.asarray(mf)[:nnn] if use_local_rms else None,
+    )
+    ratio = (nx * ny * nz * 4) / data.size
+    return data, ratio
+
+
+@functools.lru_cache(maxsize=None)
+def _inv_stage(mesh):
+    def run(coeff_blocks):
+        return wavelet.inverse_3d(coeff_blocks)
+
+    sm = shard_map(
+        run, mesh=mesh,
+        in_specs=P(meshlib.BLOCK_AXIS, None, None, None),
+        out_specs=P(meshlib.BLOCK_AXIS, None, None, None),
+    )
+    return jax.jit(sm)
+
+
+def decompress(data, mesh=None):
+    """Sharded decompress: host entropy decode, sharded inverse wavelet."""
+    from ..ops.codec import _decode_payloads_host
+
+    hdr, blkoffs, blkmulfac, payload_base = ctn.unpack(data)
+    if mesh is None:
+        mesh = meshlib.make_mesh()
+    n_shards = mesh.devices.size
+    coeffs = _decode_payloads_host(data, hdr, blkoffs, blkmulfac, payload_base)
+    nnn = coeffs.shape[0]
+    pad = meshlib.pad_to_shards(nnn, n_shards)
+    if pad:
+        coeffs = np.concatenate(
+            [coeffs, np.zeros((pad, coeffs.shape[1]), dtype=F32)]
+        )
+    cb = coeffs.reshape(-1, hdr.bz, hdr.by, hdr.bx)
+    cb_d = jax.device_put(cb, meshlib.block_sharding(mesh))
+    out_blocks = np.asarray(_inv_stage(mesh)(cb_d))[:nnn]
+    return blkops.from_blocks_np(
+        out_blocks, (hdr.nz, hdr.ny, hdr.nx), (hdr.bx, hdr.by, hdr.bz)
+    )
