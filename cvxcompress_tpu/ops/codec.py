@@ -1,16 +1,19 @@
 """The TPU-backed single-process codec: device compute, host container IO.
 
 Compress pipeline (CvxCompress::Compress semantics, CvxCompress.cpp:231-427,
-re-architected TPU-first):
+re-architected TPU-first — see PERF_NOTES.md):
 
   host:   f64 global RMS  ->  mulfac (exact reference math)
-  device: block layout -> MXU wavelet -> [local RMS] -> tokenize (vectorized
-          quantize+RLE) -> prefix-sum offsets -> gather compaction
-  host:   sizes readback -> capacity bucket -> stream readback -> container
+  device: PASS 1  block layout -> MXU wavelet -> [local RMS] -> tokenize
+          (per-cell descriptors + per-chunk byte accounting)
+  host:   chunk-byte readback -> capacity buckets
+  device: PASS 2  active-chunk row-gather -> byte-plane staging ->
+          log-shift front-pack -> live 64B subrows (d2h ∝ compressed size)
+  host:   ragged concat -> container (header + offset table + payload)
 
-Decompress: container parse on host, per-block entropy decode (native C++
-host decoder when built, oracle fallback), batched inverse MXU wavelet on
-device, block un-layout.
+Decompress: container parse + entropy decode on host (native C++ when
+built, oracle fallback), CHUNK-SPARSE upload (only nonzero chunks travel
+h2d), device row-gather expand + batched inverse MXU wavelet + un-layout.
 """
 
 from __future__ import annotations
@@ -28,9 +31,16 @@ from . import quant, rle_device, wavelet
 F32 = np.float32
 
 
-@functools.partial(jax.jit, static_argnames=("use_local", "block"))
-def _compress_device(vol, glob_mulfac, scale, use_local, block):
-    """vol (nz,ny,nx) -> (tok, off, sizes, raw, mulfacs). All-device."""
+@functools.partial(jax.jit, static_argnames=("use_local", "block", "chunk"))
+def _stage_w(vol, glob_mulfac, scale, use_local, block, chunk):
+    """Wavelet stage: vol (nz,ny,nx) -> (coeff_rows, coeff_chunks, mf).
+
+    Emits the coefficients in BOTH downstream layouts as jit outputs —
+    tokenize's (nrows, row) compute layout and pack/gather's
+    (nchunks, chunk) layout.  Output-boundary relayouts are near-free,
+    while the same reshapes inside a consumer jit trigger pathological
+    XLA relayouts (PERF_NOTES.md).
+    """
     b = blk.to_blocks(vol, block)
     coeffs = wavelet.forward_3d(b)
     n = coeffs.shape[0]
@@ -39,8 +49,18 @@ def _compress_device(vol, glob_mulfac, scale, use_local, block):
         mf = quant.mulfac_from_rms(quant.local_rms(coeffs), scale)
     else:
         mf = jnp.broadcast_to(glob_mulfac, (n,)).astype(jnp.float32)
-    tok, off, sizes, raw = rle_device.encode_blocks(coeffs.reshape(n, -1), mf)
-    return tok, off, sizes, raw, mf
+    coeffs2d = coeffs.reshape(n, -1)
+    cells = coeffs2d.shape[1]
+    return (
+        rle_device.as_rows(coeffs2d),
+        coeffs2d.reshape(n * (cells // chunk), chunk),
+        mf,
+    )
+
+
+@jax.jit
+def _gather_rows(mat, idx):
+    return jnp.take(mat, idx, axis=0)
 
 
 def compress(vol, scale, block=(32, 32, 32), use_local_rms=False):
@@ -50,23 +70,45 @@ def compress(vol, scale, block=(32, 32, 32), use_local_rms=False):
     bx, by, bz = block
     assert ctn.is_valid_block_size(bx, by, bz), "invalid block size"
     cells = bx * by * bz
+    chunk = rle_device.chunk_cells(cells)
 
     if use_local_rms:
         glob_mulfac = F32(1.0)
     else:
         glob_mulfac = ctn.compute_glob_mulfac(quant.global_rms_host(vol), scale)
 
-    tok, off, sizes, raw, mf = _compress_device(
+    coeff_rows, coeff_chunks, mf = _stage_w(
         jnp.asarray(vol), jnp.float32(glob_mulfac), jnp.float32(scale),
-        use_local_rms, (bx, by, bz),
+        use_local_rms, (bx, by, bz), chunk,
     )
+    desc, chunk_bytes, sizes, raw = rle_device.tokenize_desc(
+        coeff_rows, mf, chunk
+    )
+    cb_h = np.asarray(chunk_bytes)
     sizes_h = np.asarray(sizes)
     raw_h = np.asarray(raw)
-    total = int(sizes_h.sum())
-    # guard the int32 indexing of the compaction kernel
-    assert tok.shape[0] * cells * 5 < 2**31, "volume too large for one shard"
-    cap = rle_device.bucket_cap(total)
-    stream = np.asarray(rle_device.compact(tok, off, sizes, cap))[:total]
+
+    acap, lcap = rle_device.plan_capacities(cb_h)
+    subrows = rle_device.pack_active(
+        coeff_chunks, desc, chunk_bytes, mf, acap, lcap
+    )
+    subrows_h = np.asarray(subrows)
+
+    raw_bytes_h = None
+    if raw_h.any():
+        # raw blocks: each block's cells are ncpb consecutive chunk rows
+        ncpb = cells // chunk
+        rblk = np.nonzero(raw_h)[0].astype(np.int32)
+        ridx = (rblk[:, None] * ncpb + np.arange(ncpb, dtype=np.int32)).ravel()
+        raw_bytes_h = (
+            np.asarray(_gather_rows(coeff_chunks, jnp.asarray(ridx)))
+            .reshape(rblk.size, cells)
+            .view(np.uint8)
+        )
+
+    stream, _total = rle_device.assemble_payload(
+        subrows_h, cb_h, sizes_h, raw_h, raw_bytes_h, cells, chunk
+    )
 
     hdr = ctn.Header(nx, ny, nz, bx, by, bz, glob_mulfac, use_local_rms)
     data = ctn.pack_stream(
@@ -77,9 +119,16 @@ def compress(vol, scale, block=(32, 32, 32), use_local_rms=False):
     return data, ratio
 
 
-@functools.partial(jax.jit, static_argnames=("vol_shape", "block"))
-def _decompress_device(coeff_blocks, vol_shape, block):
-    out = wavelet.inverse_3d(coeff_blocks)
+@functools.partial(jax.jit, static_argnames=("vol_shape", "block", "chunk"))
+def _decompress_sparse(payload_rows, invmap, vol_shape, block, chunk):
+    """Chunk-sparse coefficients -> volume (expand + inverse wavelet)."""
+    bx, by, bz = block
+    padded = jnp.concatenate(
+        [payload_rows, jnp.zeros((1, chunk), jnp.float32)], axis=0
+    )
+    dense = jnp.take(padded, invmap, axis=0)  # (nchunks, chunk) row gather
+    cb = dense.reshape(-1, bz, by, bx)
+    out = wavelet.inverse_3d(cb)
     return blk.from_blocks(out, vol_shape, block)
 
 
@@ -123,11 +172,35 @@ def _decode_payloads_host(data, hdr, blkoffs, blkmulfac, payload_base):
     return coeffs
 
 
+def sparse_chunks(coeffs, cells, chunk):
+    """Host: dense (nnn, cells) coeffs -> (payload_rows, invmap, acap).
+
+    payload_rows (acap, chunk) f32 holds the nonzero chunks in order;
+    invmap (nchunks,) int32 maps every chunk to its payload row (acap =
+    the shared zero row for all-zero chunks).  h2d traffic ∝ nonzero data.
+    """
+    nchunks = coeffs.size // chunk
+    rows = coeffs.reshape(nchunks, chunk)
+    flags = rows.any(axis=1)
+    idx = np.nonzero(flags)[0]
+    acap = rle_device.bucket(idx.size, lo=1)
+    payload = np.zeros((acap, chunk), dtype=F32)
+    payload[: idx.size] = rows[idx]
+    invmap = np.full(nchunks, acap, dtype=np.int32)
+    invmap[idx] = np.arange(idx.size, dtype=np.int32)
+    return payload, invmap, acap
+
+
 def decompress(data):
     """Decompress a container: host entropy decode + device inverse wavelet."""
     hdr, blkoffs, blkmulfac, payload_base = ctn.unpack(data)
     block = (hdr.bx, hdr.by, hdr.bz)
+    cells = hdr.bx * hdr.by * hdr.bz
+    chunk = rle_device.chunk_cells(cells)
     coeffs = _decode_payloads_host(data, hdr, blkoffs, blkmulfac, payload_base)
-    cb = jnp.asarray(coeffs).reshape(-1, hdr.bz, hdr.by, hdr.bx)
-    vol = _decompress_device(cb, (hdr.nz, hdr.ny, hdr.nx), block)
+    payload, invmap, _ = sparse_chunks(coeffs, cells, chunk)
+    vol = _decompress_sparse(
+        jnp.asarray(payload), jnp.asarray(invmap),
+        (hdr.nz, hdr.ny, hdr.nx), block, chunk,
+    )
     return np.asarray(vol)

@@ -1,33 +1,40 @@
-"""TPU-native entropy encoder: quantize + RLE/escape grammar, fully vectorized.
+"""TPU-native entropy encoder: quantize + RLE/escape grammar, sparsify-then-pack.
 
 The reference encoder (Run_Length_Encode_Slow.cpp:189-294) is a sequential
 byte emitter with a mutable run-length register and a byte cursor.  On TPU
-there are no byte-granular sequential stores, so the encoder is reformulated
-as data-parallel passes over all cells of all blocks at once:
+there are no byte-granular sequential stores, and element-granular gathers
+run at ~0.1 Gelem/s (PERF_NOTES.md) — so the encoder is reformulated so that
+every data-dependent movement happens at chunk-row granularity and all
+variable-length packing uses the monotone log-shift primitive (ops/pack.py):
 
- 1. quantize + classify every cell (zero / byte / short / int24 / float),
- 2. decide the group-of-8 fast-path modes (all-byte / 8x-short / 8x-int24)
-    with the reference's exact selection guards (:216,:231,:246),
- 3. express EVERY emission as a per-cell token of <= 5 bytes:
-    - packed groups decompose per lane (e.g. VLESC2_8x = lane0 [code,i16]
-      + lanes1..7 [i16] = 3 + 7*2 = 17 B, byte-identical to the reference),
-    - zero runs attach their run token (RLESC1/RLESC3/plain 0) to the run's
-      LAST zero cell, which is exactly where the reference's deferred
-      EncodeRLE_Slow flush lands in the stream,
-    - raw-fallback blocks (stream > 4*cells, CvxCompress.cpp:350-360)
-      become cost-4 tokens carrying the float coefficient bytes,
- 4. per-block exclusive prefix sums of token costs -> within-block offsets,
-    per-block sizes, and block base offsets (replacing the reference's
-    omp-critical byte cursor, CvxCompress.cpp:370-374, with a deterministic
-    scan),
- 5. a gather-based compaction kernel: every output byte binary-searches its
-    (block, cell) and picks its byte from the token table.
+ PASS 1 — tokenize_desc, full-size, O(cells):
+   quantize + classify every cell, pick the group-of-8 fast-path modes with
+   the reference's exact selection guards (Run_Length_Encode_Slow.cpp:216,
+   231,246), detect zero runs (hierarchical cummax with per-block carry;
+   the run token lands on the run's LAST zero cell, matching the deferred
+   EncodeRLE_Slow flush), and emit ONE packed int32 descriptor per cell:
+   desc = cost(3b) | run_end(1b) | min(run_len, 2^24-1)(24b).
+   Per-chunk byte counts, per-block sizes and the raw-fallback flags
+   (stream > 4*cells -> raw block, CvxCompress.cpp:350-360) fall out of a
+   row-sum.  Zero runs >= 2^24 split (cost-5 token [RLESC3 FFFFFF][0]).
 
-The emitted stream is bit-identical to the NumPy oracle encoder (and hence
-to the reference grammar) — tested byte-for-byte in tests/test_rle_device.py.
+ PASS 2 — pack_active, O(active chunks):
+   chunks with zero payload bytes (interior of long zero runs, raw blocks)
+   are dropped by log-shift compacting the chunk index list; only ACTIVE
+   chunks are row-gathered.  Their 5 byte-planes are recomputed from the
+   gathered coefficients + descriptors, interleaved into a cell-major
+   (A, 5Q) staging, and front-packed per row by a 12-round log-shift
+   (distance of byte (i,k) is 5i - off_i, monotone).  The packed rows are
+   cut into 64-byte subrows and the live subrows are row-gathered into the
+   final (L, 64) buffer — device->host traffic is ~1-2x the compressed
+   size, never the raw size.
 
-Zero runs >= 2^24 are split (the oracle's documented fix of the reference's
-24-bit truncation bug); the only reachable case is the all-zero 256^3 block.
+ HOST — assemble_payload: ragged concat of per-chunk payloads (numpy
+   fancy-index, ∝ compressed bytes) + raw-block coefficient bytes ->
+   the exact reference payload stream, block-ordered.
+
+The emitted stream is byte-identical to the NumPy oracle encoder (and hence
+to the reference grammar) — tested in tests/test_rle_device.py.
 """
 
 from __future__ import annotations
@@ -38,12 +45,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import quant
+from . import pack, quant
 
 I32 = jnp.int32
 U8 = jnp.uint8
 
 MAX_RUN24 = (1 << 24) - 1
+SUBROW = 64
 
 _B_RLESC1 = 127
 _B_RLESC3 = 125
@@ -52,6 +60,19 @@ _B_VLESC3 = 0x81
 _B_VLESC4 = 0x80
 _B_VLESC2_8X = 0x82
 _B_VLESC3_8X = 0x7E
+
+
+def chunk_cells(cells):
+    """Chunk size Q: 128 cells, or the whole block when smaller.
+
+    Q trades chunk-grid overhead against wasted staging in active chunks.
+    Wavelet-coefficient sparsity is row-structured (nonzeros cluster at the
+    low-x end of each (y,z) row), so fine chunks keep the active staging
+    ∝ compressed size even for axis-degenerate fields (measured: Q=512
+    marks every other chunk active on a z-only sinusoid; Q=128 tracks the
+    true support).
+    """
+    return min(128, int(cells))
 
 
 def _byte(v, k):
@@ -67,84 +88,198 @@ def _sel(*pairs_and_default):
     return out
 
 
-def tokenize(coeffs, mulfac):
-    """Per-cell token table for a (N, cells) coefficient batch.
-
-    Returns (tok (N, cells, 5) uint8, cost (N, cells) int32,
-             sizes (N,) int32, raw (N,) bool, off (N, cells) int32 exclusive).
-    `mulfac` is (N,) float32.  cells must be a multiple of 8.
-    """
-    n_blocks, cells = coeffs.shape
-    assert cells % 8 == 0
-    fv, iv = quant.quantize(coeffs, mulfac[:, None])
-
+def _classify(iv):
+    """Nested size classes of quantized values (Run_Length_Encode_Slow.cpp)."""
     izero = iv == 0
     is_byte = (iv > -125) & (iv < 125)  # zero lanes count, as in ref :215
     is_short = (iv >= -32768) & (iv <= 32767)
     is_i3 = (iv >= -8388608) & (iv <= 8388607)
+    return izero, is_byte, is_short, is_i3
 
-    g = lambda a: a.reshape(n_blocks, cells // 8, 8)  # noqa: E731
-    nzero = g(izero).sum(-1)
-    nb = g(is_byte).sum(-1)
-    ns = g(is_short).sum(-1)
+
+def _group_modes(izero, is_byte, is_short, is_i3, shape2):
+    """Group-of-8 fast-path mode per cell: 0 none / 1 byte / 2 short / 3 i24.
+
+    One packed base-16 reshape-sum provides all four group counts
+    (each count <= 8 fits a nibble); selection guards match the reference
+    (:216 all-byte, :231 8x-short, :246 8x-int24).
+    """
+    n, c = shape2
+    code = (
+        izero.astype(I32)
+        + (is_byte.astype(I32) << 4)
+        + (is_short.astype(I32) << 8)
+        + (is_i3.astype(I32) << 12)
+    )
+    g = code.reshape(n, c // 8, 8).sum(-1)
+    nzero = g & 15
+    nb = (g >> 4) & 15
+    ns = (g >> 8) & 15
+    n3 = (g >> 12) & 15
     nozero = nzero == 0
     allbyte = nozero & (nb == 8)
-    allshort = (
-        nozero & ~allbyte & g(is_short).all(-1) & (nb + (8 - nb) * 3 > 17)
-    )
+    allshort = nozero & ~allbyte & (ns == 8) & (nb + (8 - nb) * 3 > 17)
     alli3 = (
-        nozero & ~allbyte & ~allshort & g(is_i3).all(-1)
+        nozero & ~allbyte & ~allshort & (n3 == 8)
         & (nb + (ns - nb) * 3 + (8 - ns) * 4 > 25)
     )
+    mode = _sel(allbyte, 1, allshort, 2, alli3, 3, 0).astype(I32)
+    mode = jnp.broadcast_to(mode[:, :, None], (n, c // 8, 8)).reshape(n, c)
+    return mode
 
-    rep = lambda a: jnp.repeat(a, 8, axis=1)  # noqa: E731  group -> lanes
-    pb, ps, p3 = rep(allbyte), rep(allshort), rep(alli3)
-    lane0 = jnp.asarray(
-        (np.arange(cells) % 8) == 0, dtype=bool
-    )[None, :]
 
-    # zero-run structure: run token attaches to the run's last zero cell
-    idx = jnp.arange(cells, dtype=I32)[None, :]
-    member = izero  # packed groups have no zero lanes by construction
-    last_nm = jax.lax.cummax(jnp.where(member, I32(-1), idx), axis=1)
-    nxt_member = jnp.concatenate(
-        [member[:, 1:], jnp.zeros((n_blocks, 1), dtype=bool)], axis=1
+ROW = 32768  # tokenize compute-row width (measured sweet spot, PERF_NOTES.md)
+
+
+def row_cells(cells):
+    """Super-row width for the tokenize layout (divides cells)."""
+    return min(ROW, int(cells))
+
+
+def as_rows(coeffs2d):
+    """(N, cells) -> (nrows, row) canonical tokenize compute layout."""
+    n, c = coeffs2d.shape
+    row = row_cells(c)
+    return coeffs2d.reshape(n * (c // row), row)
+
+
+def _run_structure(member, nblocks, rpb, row):
+    """(run_end, run_len) with per-block reset, hierarchical cummax.
+
+    Operates on the canonical (nrows, ROW) layout.  A run's token is
+    attached to its LAST zero cell.  last-nonmember indices are computed
+    per row (minor-axis cummax) and carried across the rows of the same
+    block by a small cummax over the row axis (the TPU version of the
+    encoder's sequential run register).
+    """
+    nrows = nblocks * rpb
+    rib = (jnp.arange(nrows, dtype=I32) % rpb)[:, None]  # row-in-block
+    idx = jnp.arange(row, dtype=I32)[None, :] + rib * row  # within-block
+    lnm = jnp.where(member, I32(-1), idx)
+    local = jax.lax.cummax(lnm, axis=1)
+    row_max = local[:, -1].reshape(nblocks, rpb)
+    carry = jax.lax.cummax(row_max, axis=1)
+    carry = jnp.concatenate(
+        [jnp.full((nblocks, 1), -1, I32), carry[:, :-1]], axis=1
+    ).reshape(nrows, 1)
+    lastnm = jnp.where(local == -1, carry, local)
+
+    # next cell's membership, looking across the row boundary (but not
+    # across block boundaries: each block's trailing run ends at its end)
+    nxt_first = jnp.concatenate(
+        [member[1:, :1], jnp.zeros((1, 1), dtype=bool)], axis=0
     )
-    run_end = member & ~nxt_member
-    run_len = idx - last_nm  # valid at run_end positions
+    last_of_block = (rib == rpb - 1)[:, :1]
+    nxt = jnp.concatenate(
+        [member[:, 1:], jnp.where(last_of_block, False, nxt_first)], axis=1
+    )
+    run_end = member & ~nxt
+    run_len = idx - lastnm
+    return run_end, run_len
 
-    # mixed-path lane classes (andnot chain, :259-261)
+
+def _cost(mode, izero, is_byte, is_short, is_i3, run_end, run_len):
+    """Per-cell emission size in bytes (0 for non-final zeros)."""
+    lane0 = (jnp.arange(izero.shape[-1], dtype=I32) % 8 == 0)[None, :]
     cb = is_byte & ~izero
     cs = is_short & ~is_byte
     c3 = is_i3 & ~is_short
-    # float class = ~is_i3 (ranges nest)
-
     runcost = _sel(
         run_len == 1, 1,
         run_len < 256, 2,
         run_len <= MAX_RUN24, 4,
         5,  # split case: [RLESC3 FFFFFF][0]
     )
-    cost = _sel(
-        pb, 1,
-        ps, jnp.where(lane0, 3, 2),
-        p3, jnp.where(lane0, 4, 3),
-        member, jnp.where(run_end, runcost, 0),
+    return _sel(
+        mode == 1, 1,
+        mode == 2, jnp.where(lane0, 3, 2),
+        mode == 3, jnp.where(lane0, 4, 3),
+        izero, jnp.where(run_end, runcost, 0),
         cb, 1,
         cs, 3,
         c3, 4,
         5,
     ).astype(I32)
 
-    fvb = jax.lax.bitcast_convert_type(fv, I32)  # scaled-float payload bits
-    rl = jnp.minimum(run_len, MAX_RUN24)  # split case emits FFFFFF + [0]
-    big = run_len >= 256
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def tokenize_desc(coeffs, mulfac, chunk):
+    """PASS 1: per-cell descriptors + per-chunk/per-block byte accounting.
+
+    coeffs (nrows, row) f32 in the canonical compute layout (`as_rows`),
+    mulfac (N,) f32, chunk static (divides cells).  Returns:
+      desc        (N*cells//chunk, chunk) int32   cost|run_end|run_len
+      chunk_bytes (N*cells//chunk,)       int32   0 for raw blocks
+      sizes       (N,) int32   per-block payload size (4*cells when raw)
+      raw         (N,) bool    raw-fallback flag (CvxCompress.cpp:350-360)
+
+    PERFORMANCE: call this in its OWN jit with `coeffs` produced by a
+    DIFFERENT jit whose output is already (nrows, row_cells) — in-jit
+    layout changes between the wavelet einsum output and this compute
+    layout trigger pathological XLA relayouts (measured 10-25x slowdowns,
+    PERF_NOTES.md); across jit boundaries they are near-free.  The codec
+    drives the stages as separate jits for exactly this reason.
+    """
+    n = mulfac.shape[0]
+    nrows, row = coeffs.shape
+    rpb = nrows // n
+    c = rpb * row
+    assert c % chunk == 0 and chunk % 8 == 0
+    ncpb = c // chunk
+    nchunks = n * ncpb
+    x = coeffs
+    mfc = jnp.broadcast_to(mulfac[:, None], (n, rpb)).reshape(nrows, 1)
+    _, iv = quant.quantize(x, mfc)
+    izero, is_byte, is_short, is_i3 = _classify(iv)
+    mode = _group_modes(izero, is_byte, is_short, is_i3, (nrows, row))
+    run_end, run_len = _run_structure(izero, n, rpb, row)
+    cost = _cost(mode, izero, is_byte, is_short, is_i3, run_end, run_len)
+
+    desc = (
+        cost
+        | (run_end.astype(I32) << 3)
+        | (jnp.minimum(run_len, MAX_RUN24) << 4)
+    )
+
+    chunk_bytes = cost.reshape(n, ncpb, chunk).sum(-1)
+    sizes0 = chunk_bytes.sum(-1)
+    raw = sizes0 > 4 * c
+    sizes = jnp.where(raw, I32(4 * c), sizes0)
+    chunk_bytes = jnp.where(raw[:, None], I32(0), chunk_bytes)
+    return (
+        desc.reshape(nchunks, chunk),
+        chunk_bytes.reshape(nchunks),
+        sizes,
+        raw,
+    )
+
+
+def _planes(cf, iv, fv, desc, mode, izero, is_byte, is_short, is_i3):
+    """The 5 byte-planes of every cell's <=5-byte token (active rows only).
+
+    Byte values replicate the oracle/reference grammar exactly
+    (Run_Length_Escape_Codes.hxx:8-14); packed groups decompose per lane
+    (VLESC2_8x = lane0 [code,i16] + lanes1..7 [i16], byte-identical).
+    """
+    cost = desc & 7
+    run_end = (desc >> 3) & 1
+    rl = jax.lax.shift_right_logical(desc, 4)
+    lane0 = (jnp.arange(iv.shape[-1], dtype=I32) % 8 == 0)[None, :]
+    pb, ps, p3 = mode == 1, mode == 2, mode == 3
+    member = izero
+    cb = is_byte & ~izero
+    cs = is_short & ~is_byte
+    c3 = is_i3 & ~is_short
+    big = rl >= 256
+    split = member & (cost == 5)
+
+    fvb = jax.lax.bitcast_convert_type(fv, I32)
 
     plane0 = _sel(
         pb, _byte(iv, 0),
         ps, jnp.where(lane0, _B_VLESC2_8X, _byte(iv, 0)),
         p3, jnp.where(lane0, _B_VLESC3_8X, _byte(iv, 0)),
-        member, _sel(run_len == 1, 0, big, _B_RLESC3, _B_RLESC1),
+        member, _sel((rl == 1) & ~split, 0, big | split, _B_RLESC3, _B_RLESC1),
         cb, _byte(iv, 0),
         cs, _B_VLESC2,
         c3, _B_VLESC3,
@@ -175,80 +310,142 @@ def tokenize(coeffs, mulfac):
         member, 0,  # split-run trailing single zero
         _byte(fvb, 3),
     )
-
-    sizes0 = cost.sum(axis=1, dtype=I32)
-    raw = sizes0 > 4 * cells
-
-    # raw fallback: every cell is a 4-byte token of the float COEFFICIENT
-    # (the reference memcpy's the post-transform block, CvxCompress.cpp:359)
-    cfb = jax.lax.bitcast_convert_type(coeffs.astype(jnp.float32), I32)
-    rawcol = raw[:, None]
-    cost = jnp.where(rawcol, I32(4), cost)
-    plane0 = jnp.where(rawcol, _byte(cfb, 0), plane0)
-    plane1 = jnp.where(rawcol, _byte(cfb, 1), plane1)
-    plane2 = jnp.where(rawcol, _byte(cfb, 2), plane2)
-    plane3 = jnp.where(rawcol, _byte(cfb, 3), plane3)
-
-    tok = jnp.stack(
-        [plane0, plane1, plane2, plane3, plane4], axis=-1
-    ).astype(U8)
-    sizes = jnp.where(raw, I32(4 * cells), sizes0)
-    off = jnp.cumsum(cost, axis=1, dtype=I32) - cost
-    return tok, cost, sizes, raw, off
+    return plane0, plane1, plane2, plane3, plane4, cost
 
 
-def _ceil_log2(n):
-    return max(1, int(np.ceil(np.log2(max(n, 2)))))
+def _fit(a, cap, fill=0):
+    """Static slice-or-pad of a 1-D array to length cap."""
+    n = a.shape[0]
+    if cap <= n:
+        return a[:cap]
+    pad = jnp.full((cap - n,), fill, dtype=a.dtype)
+    return jnp.concatenate([a, pad])
 
 
-@functools.partial(jax.jit, static_argnames=("cap",))
-def compact(tok, off, sizes, cap):
-    """Gather-compaction: emit the first `cap` bytes of the global stream.
+@functools.partial(jax.jit, static_argnames=("acap", "lcap"))
+def pack_active(coeff_chunks, desc, chunk_bytes, mulfac, acap, lcap):
+    """PASS 2: row-gather active chunks, pack their payload bytes.
 
-    Every output byte position finds its (block, cell, k) by binary search
-    over the block base offsets and the within-block cell offsets, then
-    gathers its byte from the token table.  Out-of-range positions yield 0.
+    coeff_chunks (nchunks, chunk) f32 in chunk layout (same jit-output
+    layout rule as tokenize_desc), desc/chunk_bytes from tokenize_desc,
+    mulfac (N,).  acap/lcap: static buckets >= the active-chunk /
+    live-subrow counts (host-chosen from chunk_bytes).  Returns
+    (subrows (lcap, SUBROW) u8); live subrows hold the per-chunk payloads,
+    front-packed, in block order.
     """
-    n_blocks, cells, _ = tok.shape
-    bases = jnp.cumsum(sizes, dtype=I32) - sizes  # exclusive
-    total = bases[-1] + sizes[-1]
+    nchunks, chunk = coeff_chunks.shape
+    n = mulfac.shape[0]
+    ncpb = nchunks // n
+    spq = 5 * chunk // SUBROW  # subrows per chunk staging row
 
-    gidx = jnp.arange(cap, dtype=I32)
-    # block = rightmost n with bases[n] <= g
-    blk = jnp.searchsorted(bases, gidx, side="right").astype(I32) - 1
-    blk = jnp.clip(blk, 0, n_blocks - 1)
-    j = gidx - jnp.take(bases, blk)
+    # -- active-chunk scalar compaction (index + mulfac travel together)
+    live = chunk_bytes > 0
+    cidx = jnp.arange(nchunks, dtype=I32)
+    cmf = jnp.broadcast_to(mulfac[:, None], (n, ncpb)).reshape(nchunks)
+    cmf_bits = jax.lax.bitcast_convert_type(cmf, I32)
+    (aidx, abytes, amf_bits), count = pack.compact_live(
+        (cidx, chunk_bytes, cmf_bits), live, pack.ceil_log2(nchunks)
+    )
+    aidx = _fit(jnp.where(jnp.arange(nchunks, dtype=I32) < count, aidx, 0), acap)
+    abytes = _fit(
+        jnp.where(jnp.arange(nchunks, dtype=I32) < count, abytes, 0), acap
+    )
+    amf = jax.lax.bitcast_convert_type(_fit(amf_bits, acap), jnp.float32)
 
-    # cell = rightmost c with off[blk, c] <= j   (off[., 0] == 0 always)
-    off_flat = off.reshape(-1)
-    cell = jnp.zeros_like(gidx)
-    for b in range(_ceil_log2(cells) - 1, -1, -1):
-        cand = cell + (1 << b)
-        ok = cand < cells
-        v = jnp.take(off_flat, blk * cells + jnp.minimum(cand, cells - 1))
-        step = ok & (v <= j)
-        cell = jnp.where(step, cand, cell)
+    # -- row-gather active chunks (row-granular: fast on TPU)
+    cf = jnp.take(coeff_chunks, aidx, axis=0)
+    dsc = jnp.take(desc, aidx, axis=0)
 
-    k = j - jnp.take(off_flat, blk * cells + cell)
-    k = jnp.clip(k, 0, 4)
-    byte = jnp.take(tok.reshape(-1), (blk * cells + cell) * 5 + k)
-    return jnp.where(gidx < total, byte, U8(0))
+    # -- rebuild token bytes on the active rows only
+    fv, iv = quant.quantize(cf, amf[:, None])
+    izero, is_byte, is_short, is_i3 = _classify(iv)
+    mode = _group_modes(izero, is_byte, is_short, is_i3, (acap, chunk))
+    p0, p1, p2, p3_, p4, cost = _planes(
+        cf, iv, fv, dsc, mode, izero, is_byte, is_short, is_i3
+    )
+
+    # -- cell-major staging (A, 5Q) and monotone front-pack
+    staging = jnp.stack(
+        [p.astype(U8) for p in (p0, p1, p2, p3_, p4)], axis=-1
+    ).reshape(acap, 5 * chunk)
+    off = jnp.cumsum(cost, axis=1) - cost
+    base = 5 * jnp.arange(chunk, dtype=I32)[None, :] - off  # dist per cell
+    kio = jnp.arange(5, dtype=I32)[None, None, :]
+    livb = kio < cost[:, :, None]
+    ddt = jnp.int16 if 5 * chunk <= 32767 else I32  # halve logshift traffic
+    dist = jnp.where(
+        livb, jnp.broadcast_to(base[:, :, None], (acap, chunk, 5)), -1
+    ).astype(ddt).reshape(acap, 5 * chunk)
+    packed, _ = pack.compact_rows(staging, dist, pack.ceil_log2(5 * chunk))
+
+    # -- live-subrow selection + row-gather (d2h ∝ compressed bytes)
+    nsub = (abytes + (SUBROW - 1)) // SUBROW  # ceil(s/64) per active chunk
+    sub_live = (
+        jnp.arange(spq, dtype=I32)[None, :] < nsub[:, None]
+    ).reshape(acap * spq)
+    sidx = jnp.arange(acap * spq, dtype=I32)
+    (lidx,), lcount = pack.compact_live(
+        (sidx,), sub_live, pack.ceil_log2(acap * spq)
+    )
+    lidx = _fit(
+        jnp.where(jnp.arange(acap * spq, dtype=I32) < lcount, lidx, 0), lcap
+    )
+    subrows = jnp.take(packed.reshape(acap * spq, SUBROW), lidx, axis=0)
+    return subrows
 
 
-@jax.jit
-def encode_blocks(coeffs, mulfac):
-    """Full device encode of a (N, cells) batch.
+def bucket(n, lo=8):
+    """Round up to a power-of-two capacity to bound jit recompiles."""
+    n = max(int(n), lo)
+    return 1 << int(np.ceil(np.log2(n)))
 
-    Returns (tok, off, sizes (N,) int32, raw (N,) bool) — feed `tok/off/sizes`
-    to `compact` with a host-chosen capacity to materialize the byte stream.
+
+def plan_capacities(chunk_bytes_h):
+    """Host-side: (acap, lcap) buckets from the pass-1 chunk byte counts."""
+    active = chunk_bytes_h > 0
+    acount = int(np.count_nonzero(active))
+    lcount = int(((chunk_bytes_h[active] + SUBROW - 1) // SUBROW).sum())
+    return bucket(acount), bucket(lcount)
+
+
+def assemble_payload(subrows_h, chunk_bytes_h, sizes_h, raw_h, raw_bytes_h,
+                     cells, chunk):
+    """Host: ragged-concat per-chunk payloads into the reference stream.
+
+    subrows_h (lcap, SUBROW) u8 from pack_active; chunk_bytes_h (nchunks,)
+    in block order; raw_bytes_h (n_raw, 4*cells) u8 rows for raw blocks in
+    block order.  Returns (stream uint8, total) — the payload area content.
+    All numpy work is ∝ compressed size (fancy-index ragged copy).
     """
-    tok, _cost, sizes, raw, off = tokenize(coeffs, mulfac)
-    return tok, off, sizes, raw
+    sizes = np.asarray(sizes_h, dtype=np.int64)
+    raw = np.asarray(raw_h, dtype=bool)
+    cb = np.asarray(chunk_bytes_h, dtype=np.int64)
+    ncpb = cells // chunk
+    n = sizes.size
 
+    total = int(sizes.sum())
+    stream = np.empty(total, dtype=np.uint8)
 
-def bucket_cap(total, align=1024):
-    """Round a byte count up to a bucket to bound jit recompiles of compact."""
-    total = int(total)
-    if total <= align:
-        return align
-    return 1 << int(np.ceil(np.log2(total)))
+    # destination offset of every chunk: block base + within-block prefix
+    block_base = np.cumsum(sizes) - sizes
+    within = cb.reshape(n, ncpb)
+    within = np.cumsum(within, axis=1) - within
+    dst = (block_base[:, None] + within).reshape(-1)
+
+    # source offset of every active chunk in the flat subrow buffer
+    nsub = (cb + SUBROW - 1) // SUBROW
+    src = (np.cumsum(nsub) - nsub) * SUBROW
+
+    if cb.sum():
+        flat = np.ascontiguousarray(subrows_h, dtype=np.uint8).reshape(-1)
+        tot_rle = int(cb.sum())
+        # gather indices: for chunk q, flat[src_q : src_q + s_q]
+        sidx = np.repeat(src - (np.cumsum(cb) - cb), cb) + np.arange(tot_rle)
+        didx = np.repeat(dst - (np.cumsum(cb) - cb), cb) + np.arange(tot_rle)
+        stream[didx] = flat[sidx]
+
+    if raw.any():
+        rb = np.ascontiguousarray(raw_bytes_h, dtype=np.uint8)
+        for i, b in enumerate(np.nonzero(raw)[0]):
+            stream[block_base[b] : block_base[b] + 4 * cells] = rb[i]
+    return stream, total

@@ -62,8 +62,8 @@ def distributed_sumsq(vol_sharded, mesh):
 
 
 @functools.lru_cache(maxsize=None)
-def _stage1(mesh, use_local):
-    """Sharded forward + tokenize. Cached per (mesh, mode)."""
+def _stage1(mesh, use_local, chunk):
+    """Sharded forward wavelet + tokenize (PASS 1). Cached per (mesh, mode)."""
     spec_b = P(meshlib.BLOCK_AXIS)
 
     def run(blocks, glob_mf, scale):
@@ -73,34 +73,40 @@ def _stage1(mesh, use_local):
             mf = quant.mulfac_from_rms(quant.local_rms(coeffs), scale)
         else:
             mf = jnp.broadcast_to(glob_mf, (n,)).astype(jnp.float32)
-        tok, off, sizes, raw = rle_device.encode_blocks(
-            coeffs.reshape(n, -1), mf
+        coeffs2d = coeffs.reshape(n, -1)
+        cells = coeffs2d.shape[1]
+        desc, chunk_bytes, sizes, raw = rle_device.tokenize_desc(
+            rle_device.as_rows(coeffs2d), mf, chunk
         )
-        return tok, off, sizes, raw, mf
+        cchunks = coeffs2d.reshape(n * (cells // chunk), chunk)
+        return cchunks, desc, chunk_bytes, sizes, raw, mf
 
     sm = shard_map(
         run, mesh=mesh,
         in_specs=(P(meshlib.BLOCK_AXIS, None, None, None), P(), P()),
-        out_specs=(spec_b, spec_b, spec_b, spec_b, spec_b),
+        out_specs=(spec_b, spec_b, spec_b, spec_b, spec_b, spec_b),
     )
     return jax.jit(sm)
 
 
 @functools.lru_cache(maxsize=None)
-def _stage2(mesh, cap):
-    """Sharded per-shard compaction at static capacity. Cached per (mesh, cap)."""
+def _stage2(mesh, chunk, acap, lcap):
+    """Sharded per-shard packing (PASS 2) at static caps. Cached per config."""
 
-    def run(tok, off, sizes):
-        return rle_device.compact(tok, off, sizes, cap)[None]
+    def run(cchunks, desc, chunk_bytes, mf):
+        return rle_device.pack_active(
+            cchunks, desc, chunk_bytes, mf, acap, lcap
+        )[None]
 
     sm = shard_map(
         run, mesh=mesh,
         in_specs=(
-            P(meshlib.BLOCK_AXIS, None, None),
+            P(meshlib.BLOCK_AXIS, None),
             P(meshlib.BLOCK_AXIS, None),
             P(meshlib.BLOCK_AXIS),
+            P(meshlib.BLOCK_AXIS),
         ),
-        out_specs=P(meshlib.BLOCK_AXIS, None),
+        out_specs=P(meshlib.BLOCK_AXIS, None, None),
     )
     return jax.jit(sm)
 
@@ -130,35 +136,63 @@ def compress(vol, scale, block=(32, 32, 32), use_local_rms=False, mesh=None):
             [blocks, np.zeros((pad,) + blocks.shape[1:], dtype=F32)]
         )
     blocks_d = jax.device_put(blocks, meshlib.block_sharding(mesh))
+    chunk = rle_device.chunk_cells(cells)
+    ncpb = cells // chunk
 
-    tok, off, sizes, raw, mf = _stage1(mesh, use_local_rms)(
-        blocks_d, jnp.float32(glob_mulfac), jnp.float32(scale)
-    )
+    cchunks, desc, chunk_bytes, sizes, raw, mf = _stage1(
+        mesh, use_local_rms, chunk
+    )(blocks_d, jnp.float32(glob_mulfac), jnp.float32(scale))
+    cb_h = np.asarray(chunk_bytes)
     sizes_h = np.asarray(sizes)
     raw_h = np.asarray(raw)[:nnn]
-    per_shard = sizes_h.reshape(n_shards, -1)
-    shard_totals = per_shard.sum(axis=1)
-    cap = rle_device.bucket_cap(int(shard_totals.max()))
-    streams = np.asarray(_stage2(mesh, cap)(tok, off, sizes))
 
-    # host-side ordered gather: per-shard streams -> file-ordered payload.
-    # pad blocks sit at the tail of the last shard; dropping their sizes
-    # truncates exactly their bytes.
-    real_sizes = sizes_h[:nnn]
-    parts = []
-    blocks_per_shard = (nnn + pad) // n_shards
+    # uniform static caps = max over shards (SPMD requires identical shapes)
+    cb_shard = cb_h.reshape(n_shards, -1)
+    acap = lcap = 8
     for s in range(n_shards):
-        lo = s * blocks_per_shard
-        hi = min((s + 1) * blocks_per_shard, nnn)
-        if hi <= lo:
-            break
-        nbytes = int(sizes_h[lo:hi].sum())
-        parts.append(streams[s, :nbytes])
-    payload = np.concatenate(parts) if parts else np.zeros(0, dtype=np.uint8)
+        a, l = rle_device.plan_capacities(cb_shard[s])
+        acap, lcap = max(acap, a), max(lcap, l)
+
+    subrows = np.asarray(
+        _stage2(mesh, chunk, acap, lcap)(cchunks, desc, chunk_bytes, mf)
+    )
+
+    # per-shard live subrows -> one global flat buffer (shards are
+    # contiguous block ranges; pad blocks trail in the last shard, and
+    # slicing chunk_bytes to the real blocks drops exactly their payloads)
+    parts = []
+    for s in range(n_shards):
+        act = cb_shard[s][cb_shard[s] > 0]
+        nlive = int(((act + rle_device.SUBROW - 1) // rle_device.SUBROW).sum())
+        parts.append(subrows[s, :nlive])
+    flat = (
+        np.concatenate(parts)
+        if parts
+        else np.zeros((0, rle_device.SUBROW), np.uint8)
+    )
+
+    raw_bytes_h = None
+    if raw_h.any():
+        rblk = np.nonzero(raw_h)[0].astype(np.int32)
+        ridx = (rblk[:, None] * ncpb + np.arange(ncpb, dtype=np.int32)).ravel()
+        raw_bytes_h = (
+            np.asarray(
+                jax.jit(lambda m, i: jnp.take(m, i, axis=0))(
+                    cchunks, jnp.asarray(ridx)
+                )
+            )
+            .reshape(rblk.size, cells)
+            .view(np.uint8)
+        )
+
+    stream, _total = rle_device.assemble_payload(
+        flat, cb_h[: nnn * ncpb], sizes_h[:nnn], raw_h, raw_bytes_h,
+        cells, chunk,
+    )
 
     hdr = ctn.Header(nx, ny, nz, bx, by, bz, glob_mulfac, use_local_rms)
     data = ctn.pack_stream(
-        hdr, real_sizes, raw_h, payload,
+        hdr, sizes_h[:nnn], raw_h, stream,
         np.asarray(mf)[:nnn] if use_local_rms else None,
     )
     ratio = (nx * ny * nz * 4) / data.size

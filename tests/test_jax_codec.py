@@ -68,14 +68,22 @@ def test_container_bit_equality_same_coefficients():
     coeffs = np.asarray(wavelet.forward_3d(jnp.asarray(blocks)))
     mf = F32(0.37)
     flat = coeffs.reshape(6, -1)
-    tok, off, sizes, raw = rle_device.encode_blocks(
-        jnp.asarray(flat), jnp.full((6,), mf, dtype=jnp.float32)
+    cells = flat.shape[1]
+    chunk = rle_device.chunk_cells(cells)
+    cd = jnp.asarray(flat)
+    mfv = jnp.full((6,), mf, dtype=jnp.float32)
+    desc, chunk_bytes, sizes, raw = rle_device.tokenize_desc(
+        rle_device.as_rows(cd), mfv, chunk
     )
-    sizes_h = np.asarray(sizes)
-    total = int(sizes_h.sum())
-    stream = np.asarray(
-        rle_device.compact(tok, off, sizes, rle_device.bucket_cap(total))
-    )[:total]
+    cchunks = cd.reshape(-1, chunk)
+    cb_h, sizes_h, raw_h = map(np.asarray, (chunk_bytes, sizes, raw))
+    acap, lcap = rle_device.plan_capacities(cb_h)
+    subrows = np.asarray(
+        rle_device.pack_active(cchunks, desc, chunk_bytes, mfv, acap, lcap)
+    )
+    stream, total = rle_device.assemble_payload(
+        subrows, cb_h, sizes_h, raw_h, None, cells, chunk
+    )
     pos = 0
     for i in range(6):
         expect = orle.encode(mf, flat[i])

@@ -13,18 +13,34 @@ F32 = np.float32
 def device_encode(coeff_blocks, mulfacs):
     """Run the full device encode path, return (list of payloads, raw flags)."""
     n, cells = coeff_blocks.shape
-    tok, off, sizes, raw = rle_device.encode_blocks(
-        jnp.asarray(coeff_blocks), jnp.asarray(mulfacs, dtype=jnp.float32)
+    chunk = rle_device.chunk_cells(cells)
+    cd = jnp.asarray(coeff_blocks)
+    mf = jnp.asarray(mulfacs, dtype=jnp.float32)
+    desc, chunk_bytes, sizes, raw = rle_device.tokenize_desc(
+        rle_device.as_rows(cd), mf, chunk
     )
+    ncpb = cells // chunk
+    cchunks = cd.reshape(n * ncpb, chunk)
+    cb_h = np.asarray(chunk_bytes)
     sizes_h = np.asarray(sizes)
-    total = int(sizes_h.sum())
-    cap = rle_device.bucket_cap(total)
-    stream = np.asarray(rle_device.compact(tok, off, sizes, cap))[:total]
+    raw_h = np.asarray(raw)
+    acap, lcap = rle_device.plan_capacities(cb_h)
+    subrows = np.asarray(
+        rle_device.pack_active(cchunks, desc, chunk_bytes, mf, acap, lcap)
+    )
+    raw_bytes = (
+        np.ascontiguousarray(coeff_blocks[raw_h], dtype=F32).view(np.uint8)
+        if raw_h.any()
+        else None
+    )
+    stream, total = rle_device.assemble_payload(
+        subrows, cb_h, sizes_h, raw_h, raw_bytes, cells, chunk
+    )
     out, pos = [], 0
     for s in sizes_h:
         out.append(stream[pos : pos + s].tobytes())
         pos += s
-    return out, np.asarray(raw)
+    return out, raw_h
 
 
 def oracle_encode(coeff_blocks, mulfacs):
@@ -128,3 +144,44 @@ def test_multiblock_offsets(rng):
     c = (rng.standard_normal((16, 128)) * 50).astype(F32)
     c[rng.random((16, 128)) < 0.5] = 0.0
     check(c, np.full(16, 1.0))
+
+
+def test_multichunk_blocks(rng):
+    # cells > chunk (512): exercises the hierarchical run-carry across chunks
+    c = (rng.standard_normal((3, 2048)) * 50).astype(F32)
+    c[rng.random((3, 2048)) < 0.7] = 0.0
+    check(c, np.full(3, 1.0))
+
+
+def test_runs_crossing_chunks(rng):
+    # zero runs spanning chunk boundaries, ends near boundaries
+    for pos in (511, 512, 513, 1023, 1024, 1500, 2047):
+        c = np.zeros((1, 2048), dtype=F32)
+        c[0, pos] = 42.0
+        check(c, [1.0])
+    # run covering several whole chunks with values on both sides
+    c = np.zeros((1, 4096), dtype=F32)
+    c[0, 10] = 1.0
+    c[0, 3900] = 2.0
+    check(c, [1.0])
+
+
+def test_inactive_interior_chunks(rng):
+    # blocks whose middle chunks are entirely inside a zero run (inactive)
+    c = np.zeros((4, 4096), dtype=F32)
+    c[0, 0] = 5.0
+    c[1, 4095] = 5.0
+    c[2, 0] = 5.0
+    c[2, 4095] = 5.0
+    # block 3 all zero: single RLESC3 token in the last chunk
+    check(c, np.full(4, 1.0))
+
+
+def test_split_giant_run():
+    # a zero run of exactly 2^24 cells splits into [RLESC3 0xFFFFFF][0]
+    # (only reachable as an all-zero 256^3 block; use the grammar directly
+    # on a smaller synthetic via the oracle comparison at 2^24 cells would
+    # be too slow on CPU -- check the token stream against the oracle's
+    # documented split behavior on the largest CI-fast size instead)
+    c = np.zeros((1, 1 << 15), dtype=F32)
+    check(c, [1.0])
