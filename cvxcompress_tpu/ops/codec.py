@@ -58,6 +58,72 @@ def _stage_w(vol, glob_mulfac, scale, use_local, block, chunk):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("use_local", "block", "chunk"))
+def _stage_w_pallas(vol, glob_mulfac, scale, use_local, block, chunk):
+    """Wavelet stage feeding the Pallas tokenize kernel.
+
+    Emits PRE-SCALED (mulfac * coeff) chunk-layout coefficients, padded to
+    the kernel's tile grid — the scale multiply and zero padding fuse into
+    the output write for free — plus the unscaled chunks (pack stage, raw
+    blocks) and mf.
+    """
+    from . import tokenize_pallas as tp
+
+    b = blk.to_blocks(vol, block)
+    coeffs = wavelet.forward_3d(b)
+    n = coeffs.shape[0]
+    if use_local:
+        mf = quant.mulfac_from_rms(quant.local_rms(coeffs), scale)
+    else:
+        mf = jnp.broadcast_to(glob_mulfac, (n,)).astype(jnp.float32)
+    coeffs2d = coeffs.reshape(n, -1)
+    cells = coeffs2d.shape[1]
+    ncpb = cells // chunk
+    nchunks = n * ncpb
+    chunks = coeffs2d.reshape(nchunks, chunk)
+    mfc = jnp.broadcast_to(mf[:, None], (n, ncpb)).reshape(nchunks, 1)
+    fv = (chunks * mfc).astype(jnp.float32)
+    pad = tp.pad_rows(nchunks) - nchunks
+    fvp = jnp.concatenate(
+        [fv, jnp.zeros((pad, chunk), jnp.float32)], axis=0
+    )
+    return fvp, chunks, mf
+
+
+def use_pallas():
+    """Pallas kernels run on real TPU backends only (XLA path elsewhere)."""
+    import jax as _jax
+
+    return _jax.default_backend() == "tpu"
+
+
+def _encode_device(vol_dev, glob_mulfac, scale, use_local, block, chunk):
+    """W + T stages with the best available tokenizer.
+
+    Returns (coeff_chunks, desc, chunk_bytes, sizes, raw, counts, mf).
+    """
+    from . import tokenize_pallas as tp
+
+    bx, by, bz = block
+    cells = bx * by * bz
+    if use_pallas() and chunk == tp.LANES:
+        fvp, chunks, mf = _stage_w_pallas(
+            vol_dev, glob_mulfac, scale, use_local, block, chunk
+        )
+        n = mf.shape[0]
+        desc, cb, sizes, raw, counts = tp.tokenize_desc_fast(
+            fvp, n, cells // chunk, chunk
+        )
+    else:
+        rows, chunks, mf = _stage_w(
+            vol_dev, glob_mulfac, scale, use_local, block, chunk
+        )
+        desc, cb, sizes, raw, counts = rle_device.tokenize_desc(
+            rows, mf, chunk
+        )
+    return chunks, desc, cb, sizes, raw, counts, mf
+
+
 @jax.jit
 def _gather_rows(mat, idx):
     return jnp.take(mat, idx, axis=0)
@@ -77,22 +143,19 @@ def compress(vol, scale, block=(32, 32, 32), use_local_rms=False):
     else:
         glob_mulfac = ctn.compute_glob_mulfac(quant.global_rms_host(vol), scale)
 
-    coeff_rows, coeff_chunks, mf = _stage_w(
+    coeff_chunks, desc, chunk_bytes, sizes, raw, counts, mf = _encode_device(
         jnp.asarray(vol), jnp.float32(glob_mulfac), jnp.float32(scale),
         use_local_rms, (bx, by, bz), chunk,
     )
-    desc, chunk_bytes, sizes, raw = rle_device.tokenize_desc(
-        coeff_rows, mf, chunk
-    )
-    cb_h = np.asarray(chunk_bytes)
-    sizes_h = np.asarray(sizes)
-    raw_h = np.asarray(raw)
-
-    acap, lcap = rle_device.plan_capacities(cb_h)
-    subrows = rle_device.pack_active(
+    acount, lcount = (int(v) for v in np.asarray(counts))  # 8-byte readback
+    acap = rle_device.bucket(acount)
+    lcap = rle_device.bucket(lcount)
+    subrows, aidx, abytes = rle_device.pack_active(
         coeff_chunks, desc, chunk_bytes, mf, acap, lcap
     )
     subrows_h = np.asarray(subrows)
+    sizes_h = np.asarray(sizes)
+    raw_h = np.asarray(raw)
 
     raw_bytes_h = None
     if raw_h.any():
@@ -106,8 +169,9 @@ def compress(vol, scale, block=(32, 32, 32), use_local_rms=False):
             .view(np.uint8)
         )
 
-    stream, _total = rle_device.assemble_payload(
-        subrows_h, cb_h, sizes_h, raw_h, raw_bytes_h, cells, chunk
+    stream, _total = rle_device.assemble_payload_sparse(
+        np.asarray(subrows_h), np.asarray(aidx), np.asarray(abytes), acount,
+        sizes_h, raw_h, raw_bytes_h, cells, chunk,
     )
 
     hdr = ctn.Header(nx, ny, nz, bx, by, bz, glob_mulfac, use_local_rms)

@@ -246,11 +246,19 @@ def tokenize_desc(coeffs, mulfac, chunk):
     raw = sizes0 > 4 * c
     sizes = jnp.where(raw, I32(4 * c), sizes0)
     chunk_bytes = jnp.where(raw[:, None], I32(0), chunk_bytes)
+    # counts for host capacity planning: an 8-byte readback instead of the
+    # full (nchunks,) table (d2h of computed results costs ~30 MB/s + one
+    # ~30ms round trip through the tunnel; see PERF_NOTES.md)
+    active = chunk_bytes > 0
+    acount = active.sum(dtype=I32)
+    lcount = ((chunk_bytes + (SUBROW - 1)) // SUBROW).sum(dtype=I32)
+    counts = jnp.stack([acount, lcount])
     return (
         desc.reshape(nchunks, chunk),
         chunk_bytes.reshape(nchunks),
         sizes,
         raw,
+        counts,
     )
 
 
@@ -391,7 +399,9 @@ def pack_active(coeff_chunks, desc, chunk_bytes, mulfac, acap, lcap):
         jnp.where(jnp.arange(acap * spq, dtype=I32) < lcount, lidx, 0), lcap
     )
     subrows = jnp.take(packed.reshape(acap * spq, SUBROW), lidx, axis=0)
-    return subrows
+    # compacted per-active-chunk metadata rides along so the host never
+    # needs the full (nchunks,) table (readbacks scale with compressed size)
+    return subrows, aidx, abytes
 
 
 def bucket(n, lo=8):
@@ -406,6 +416,51 @@ def plan_capacities(chunk_bytes_h):
     acount = int(np.count_nonzero(active))
     lcount = int(((chunk_bytes_h[active] + SUBROW - 1) // SUBROW).sum())
     return bucket(acount), bucket(lcount)
+
+
+def assemble_payload_sparse(subrows_h, aidx_h, abytes_h, acount, sizes_h,
+                            raw_h, raw_bytes_h, cells, chunk):
+    """Host: ragged-concat from COMPACTED per-active-chunk metadata.
+
+    subrows_h (lcap, SUBROW) u8, aidx_h/abytes_h (acap,) from pack_active
+    (only the first `acount` entries are live), sizes/raw per block.
+    Everything here is ∝ compressed size.  Returns (stream uint8, total).
+    """
+    sizes = np.asarray(sizes_h, dtype=np.int64)
+    raw = np.asarray(raw_h, dtype=bool)
+    aidx = np.asarray(aidx_h[:acount], dtype=np.int64)
+    ab = np.asarray(abytes_h[:acount], dtype=np.int64)
+    ncpb = cells // chunk
+
+    total = int(sizes.sum())
+    stream = np.empty(total, dtype=np.uint8)
+    block_base = np.cumsum(sizes) - sizes
+
+    if acount:
+        blk = aidx // ncpb
+        excl = np.cumsum(ab) - ab
+        # within-block prefix: excl minus the excl at the block's first
+        # active chunk (groupwise broadcast via maximum.accumulate)
+        first = np.empty(acount, dtype=bool)
+        first[0] = True
+        np.not_equal(blk[1:], blk[:-1], out=first[1:])
+        start_excl = np.maximum.accumulate(np.where(first, excl, 0))
+        dst = block_base[blk] + (excl - start_excl)
+
+        nsub = (ab + SUBROW - 1) // SUBROW
+        src = (np.cumsum(nsub) - nsub) * SUBROW
+
+        flat = np.ascontiguousarray(subrows_h, dtype=np.uint8).reshape(-1)
+        tot_rle = int(ab.sum())
+        sidx = np.repeat(src - excl, ab) + np.arange(tot_rle)
+        didx = np.repeat(dst - excl, ab) + np.arange(tot_rle)
+        stream[didx] = flat[sidx]
+
+    if raw.any():
+        rb = np.ascontiguousarray(raw_bytes_h, dtype=np.uint8)
+        for i, b in enumerate(np.nonzero(raw)[0]):
+            stream[block_base[b] : block_base[b] + 4 * cells] = rb[i]
+    return stream, total
 
 
 def assemble_payload(subrows_h, chunk_bytes_h, sizes_h, raw_h, raw_bytes_h,

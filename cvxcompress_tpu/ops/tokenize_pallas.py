@@ -1,0 +1,269 @@
+"""Pallas TPU kernel for the tokenize pass (PASS 1 of the entropy encoder).
+
+The XLA formulation of tokenize (rle_device.tokenize_desc) tops out at
+~4 GC/s — it spans ~10 materialized passes over HBM that XLA refuses to
+fuse (classification, group-of-8 mode votes, run cummax hierarchy, cost
+selects, descriptor packing).  This kernel does the whole thing in ONE
+VMEM-resident pass: read a tile of scaled coefficients, write its int32
+descriptors and per-chunk byte counts.  Traffic = read 4B + write 4B per
+cell, the roofline for this stage.
+
+Key design points:
+
+  * input is PRE-SCALED (fv = mulfac * coeff, computed for free inside the
+    wavelet stage's epilogue) so the kernel needs no per-block metadata;
+  * zero-run detection needs a scan over the whole volume in cell order:
+    within a tile it is a lane-wise + sublane-wise cummax of "last
+    nonzero global index"; across sequential grid steps the carry lives
+    in SMEM scratch (TPU grid iteration is sequential).  Per-block run
+    resets need no segmented scan: the within-block last-nonzero is just
+    max(lastnm_global, block_base - 1) — earlier-block indices clamp away;
+  * run ends need ONE cell of lookahead: a second (1, 128) BlockSpec on
+    the same input delivers the next tile's first row;
+  * grammar, guards and descriptor layout are bit-compatible with
+    rle_device.tokenize_desc (tested against it and the NumPy oracle).
+
+Reference grammar: Run_Length_Encode_Slow.cpp:189-294,
+Run_Length_Escape_Codes.hxx:8-14.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+I32 = jnp.int32
+INT32_MIN = -2147483648
+MAX_RUN24 = (1 << 24) - 1
+
+LANES = 128  # cells per chunk row == chunk size
+TR = 1024  # chunk rows per grid step (1024x128 f32 tile = 512 KiB VMEM)
+
+
+def _cumscan_max(x, axis, idx, fill):
+    """Inclusive max-scan along `axis` via log2(length) roll+mask steps.
+
+    lax.cummax has no Pallas TPU lowering, and Mosaic rejects the
+    concat-with-offset shifts — pltpu.roll + an index mask do the job.
+    `idx` is the broadcasted iota along `axis`.
+    """
+    length = x.shape[axis]
+    s = 1
+    while s < length:
+        sh = jnp.where(idx >= s, pltpu.roll(x, s, axis), fill)
+        x = jnp.maximum(x, sh)
+        s *= 2
+    return x
+
+
+def _shr_lanes(x, s, lane, fill):
+    """out[:, l] = x[:, l+s] (bring from higher lanes), fill at the end."""
+    return jnp.where(lane < LANES - s, pltpu.roll(x, LANES - s, 1), fill)
+
+
+def _shl_lanes(x, s, lane, fill):
+    """out[:, l] = x[:, l-s] (bring from lower lanes), fill at the start."""
+    return jnp.where(lane >= s, pltpu.roll(x, s, 1), fill)
+
+
+def _kernel(fv_ref, nxt_ref, desc_ref, carry_ref, *, ncpb):
+    """One (TR, 128) tile: per-cell int32 descriptors."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        carry_ref[0] = -1
+
+    fv = fv_ref[:]  # (TR, 128) f32, already mulfac-scaled
+
+    # --- quantize with AVX cvttps semantics (Run_Length_Encode_Slow.cpp:203)
+    in_range = (fv >= jnp.float32(-2147483648.0)) & (
+        fv < jnp.float32(2147483648.0)
+    )
+    tr = jnp.trunc(jnp.where(in_range, fv, 0.0))
+    iv = jnp.where(in_range, tr.astype(I32), I32(INT32_MIN))
+
+    # --- size classes (nested; zero lanes count as byte, ref :215)
+    izero = iv == 0
+    is_byte = (iv > -125) & (iv < 125)
+    is_short = (iv >= -32768) & (iv <= 32767)
+    is_i3 = (iv >= -8388608) & (iv <= 8388607)
+
+    # --- group-of-8 fast-path modes (guards: ref :216,:231,:246)
+    # group sums via lane-shift windowed adds (Mosaic has no in-kernel
+    # 3D reshape); counts land base-16-packed at each group's lane 0
+    code = (
+        izero.astype(I32)
+        + (is_byte.astype(I32) << 4)
+        + (is_short.astype(I32) << 8)
+        + (is_i3.astype(I32) << 12)
+    )
+    rows = jax.lax.broadcasted_iota(I32, (TR, LANES), 0)
+    lane = jax.lax.broadcasted_iota(I32, (TR, LANES), 1)
+    y = code
+    for s in (1, 2, 4):
+        y = y + _shr_lanes(y, s, lane, I32(0))  # sum code[:, l..l+7]
+    nzero = y & 15
+    nb = (y >> 4) & 15
+    ns = (y >> 8) & 15
+    n3 = (y >> 12) & 15
+    nozero = nzero == 0
+    allbyte = nozero & (nb == 8)
+    allshort = nozero & ~allbyte & (ns == 8) & (nb + (8 - nb) * 3 > 17)
+    alli3 = (
+        nozero & ~allbyte & ~allshort & (n3 == 8)
+        & (nb + (ns - nb) * 3 + (8 - ns) * 4 > 25)
+    )
+    mode = jnp.where(allbyte, 1, jnp.where(allshort, 2, jnp.where(alli3, 3, 0)))
+    # valid only at lane 0 of each group: mask and OR-propagate across it
+    mode = jnp.where(lane % 8 == 0, mode, 0)
+    for s in (1, 2, 4):
+        mode = mode | _shl_lanes(mode, s, lane, I32(0))
+
+    # --- zero-run structure
+    gidx = (i * TR + rows) * LANES + lane  # global cell index
+    member = izero
+
+    lnm = jnp.where(member, I32(-1), gidx)
+    lnm = _cumscan_max(lnm, 1, lane, I32(-1))  # within row (lane order)
+    rowmax = jnp.max(lnm, axis=1, keepdims=True)  # (TR, 1)
+    rowmax = jnp.broadcast_to(rowmax, (TR, LANES))
+    rowcarry = _cumscan_max(rowmax, 0, rows, I32(-1))  # inclusive over rows
+    prev_rows = jnp.where(rows == 0, I32(-1), pltpu.roll(rowcarry, 1, 0))
+    carry_in = carry_ref[0]
+    lastnm_glob = jnp.maximum(lnm, jnp.maximum(prev_rows, carry_in))
+    carry_ref[0] = jnp.maximum(carry_in, jnp.max(lnm))
+
+    cells_per_block = ncpb * LANES
+    block_base = (gidx // cells_per_block) * cells_per_block
+    lastnm = jnp.maximum(lastnm_glob, block_base - 1)
+    run_len = gidx - lastnm
+
+    # next cell's membership (one-cell lookahead, row-major order);
+    # membership == quantizes-to-zero == fv in (-1, 1) (NaN excluded).
+    # Rolls only (Mosaic rejects offset concats): within-row shift for
+    # lanes < 127; for lane 127 the next row's lane 0 (rolled into place);
+    # for the tile's last cell the first value of the NEXT tile.
+    mem_i = member.astype(I32)
+    a = pltpu.roll(mem_i, LANES - 1, 1)  # [r, l] <- member[r, l+1] (l<127)
+    b = pltpu.roll(mem_i, TR - 1, 0)  # [r, :] <- member[r+1, :] (r<TR-1)
+    c = pltpu.roll(b, 127, 1)     # [r, 127] <- member[r+1, 0]
+    # scalar fv of the next tile's first cell, extracted from the (8, 128)
+    # lookahead window by a masked sum (NaN propagates -> not a member)
+    nxt_vals = nxt_ref[0:8, :]
+    r8 = jax.lax.broadcasted_iota(I32, (8, LANES), 0)
+    l8 = jax.lax.broadcasted_iota(I32, (8, LANES), 1)
+    nxt0 = jnp.sum(jnp.where((r8 == 0) & (l8 == 0), nxt_vals, 0.0))
+    nxt0_member = (nxt0 > -1.0) & (nxt0 < 1.0)
+    nxt_member = jnp.where(
+        lane < LANES - 1, a,
+        jnp.where(rows < TR - 1, c, nxt0_member.astype(I32)),
+    ) != 0
+    block_end = (gidx + 1) % cells_per_block == 0
+    run_end = member & (block_end | ~nxt_member)
+
+    # --- per-cell emission cost (bytes)
+    lane0 = lane % 8 == 0
+    cb_ = is_byte & ~izero
+    cs_ = is_short & ~is_byte
+    c3_ = is_i3 & ~is_short
+    runcost = jnp.where(
+        run_len == 1, 1,
+        jnp.where(run_len < 256, 2, jnp.where(run_len <= MAX_RUN24, 4, 5)),
+    )
+    cost = jnp.where(
+        mode == 1, 1,
+        jnp.where(
+            mode == 2, jnp.where(lane0, 3, 2),
+            jnp.where(
+                mode == 3, jnp.where(lane0, 4, 3),
+                jnp.where(
+                    izero, jnp.where(run_end, runcost, 0),
+                    jnp.where(cb_, 1, jnp.where(cs_, 3, jnp.where(c3_, 4, 5))),
+                ),
+            ),
+        ),
+    ).astype(I32)
+
+    desc_ref[:] = (
+        cost
+        | (run_end.astype(I32) << 3)
+        | (jnp.minimum(run_len, MAX_RUN24) << 4)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("ncpb", "interpret"))
+def tokenize_tiles(fv_chunks, ncpb, interpret=False):
+    """Run the kernel over (nchunks_pad, 128) scaled coefficients.
+
+    nchunks_pad must be a multiple of TR plus exactly one trailing pad row
+    (the lookahead row).  Returns (desc (nchunks_pad-1, 128) i32,
+    chunk_cost (nchunks_pad-1,) i32) — pad chunks produce garbage that the
+    caller slices off.
+    """
+    npad1, lanes = fv_chunks.shape
+    assert lanes == LANES and (npad1 - 8) % TR == 0
+    ntiles = (npad1 - 8) // TR
+
+    desc = pl.pallas_call(
+        functools.partial(_kernel, ncpb=ncpb),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((TR, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            # lookahead window starting at the next tile's first row
+            # (trailing pad rows guarantee it is always in range); only
+            # row 0 is read.  8 rows: TPU block shapes need sublane
+            # multiples of 8.
+            pl.BlockSpec((8, LANES), lambda i: ((i + 1) * TR // 8, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TR, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad1 - 8, LANES), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=interpret,
+    )(fv_chunks, fv_chunks)
+    return desc
+
+
+def pad_rows(nchunks):
+    """Padded row count: next multiple of TR, plus the lookahead rows."""
+    return -(-nchunks // TR) * TR + 8
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n", "ncpb", "chunk", "interpret")
+)
+def tokenize_desc_fast(fv_chunks_padded, n, ncpb, chunk, interpret=False):
+    """Drop-in producer of (desc, chunk_bytes, sizes, raw, counts).
+
+    fv_chunks_padded: (pad_rows(n*ncpb), 128) f32 SCALED coefficients
+    (mulfac * coeff) in chunk layout, zero-padded.  Matches
+    rle_device.tokenize_desc's outputs bit-for-bit.
+    """
+    from . import rle_device
+
+    assert chunk == LANES
+    nchunks = n * ncpb
+    desc = tokenize_tiles(fv_chunks_padded, ncpb, interpret=interpret)
+    desc = desc[:nchunks]
+    # per-chunk byte counts: XLA row-sum over the cost field (~400 GC/s)
+    chunk_bytes = (desc & 7).sum(-1).reshape(n, ncpb)
+    sizes0 = chunk_bytes.sum(-1)
+    cells = ncpb * chunk
+    raw = sizes0 > 4 * cells
+    sizes = jnp.where(raw, I32(4 * cells), sizes0)
+    chunk_bytes = jnp.where(raw[:, None], I32(0), chunk_bytes).reshape(nchunks)
+    active = chunk_bytes > 0
+    acount = active.sum(dtype=I32)
+    lcount = (
+        (chunk_bytes + (rle_device.SUBROW - 1)) // rle_device.SUBROW
+    ).sum(dtype=I32)
+    counts = jnp.stack([acount, lcount])
+    return desc, chunk_bytes, sizes, raw, counts

@@ -75,7 +75,7 @@ def _stage1(mesh, use_local, chunk):
             mf = jnp.broadcast_to(glob_mf, (n,)).astype(jnp.float32)
         coeffs2d = coeffs.reshape(n, -1)
         cells = coeffs2d.shape[1]
-        desc, chunk_bytes, sizes, raw = rle_device.tokenize_desc(
+        desc, chunk_bytes, sizes, raw, _counts = rle_device.tokenize_desc(
             rle_device.as_rows(coeffs2d), mf, chunk
         )
         cchunks = coeffs2d.reshape(n * (cells // chunk), chunk)
@@ -96,7 +96,7 @@ def _stage2(mesh, chunk, acap, lcap):
     def run(cchunks, desc, chunk_bytes, mf):
         return rle_device.pack_active(
             cchunks, desc, chunk_bytes, mf, acap, lcap
-        )[None]
+        )[0][None]
 
     sm = shard_map(
         run, mesh=mesh,

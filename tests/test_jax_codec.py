@@ -72,14 +72,14 @@ def test_container_bit_equality_same_coefficients():
     chunk = rle_device.chunk_cells(cells)
     cd = jnp.asarray(flat)
     mfv = jnp.full((6,), mf, dtype=jnp.float32)
-    desc, chunk_bytes, sizes, raw = rle_device.tokenize_desc(
+    desc, chunk_bytes, sizes, raw, counts = rle_device.tokenize_desc(
         rle_device.as_rows(cd), mfv, chunk
     )
     cchunks = cd.reshape(-1, chunk)
     cb_h, sizes_h, raw_h = map(np.asarray, (chunk_bytes, sizes, raw))
     acap, lcap = rle_device.plan_capacities(cb_h)
     subrows = np.asarray(
-        rle_device.pack_active(cchunks, desc, chunk_bytes, mfv, acap, lcap)
+        rle_device.pack_active(cchunks, desc, chunk_bytes, mfv, acap, lcap)[0]
     )
     stream, total = rle_device.assemble_payload(
         subrows, cb_h, sizes_h, raw_h, None, cells, chunk

@@ -16,7 +16,7 @@ def device_encode(coeff_blocks, mulfacs):
     chunk = rle_device.chunk_cells(cells)
     cd = jnp.asarray(coeff_blocks)
     mf = jnp.asarray(mulfacs, dtype=jnp.float32)
-    desc, chunk_bytes, sizes, raw = rle_device.tokenize_desc(
+    desc, chunk_bytes, sizes, raw, counts = rle_device.tokenize_desc(
         rle_device.as_rows(cd), mf, chunk
     )
     ncpb = cells // chunk
@@ -25,17 +25,27 @@ def device_encode(coeff_blocks, mulfacs):
     sizes_h = np.asarray(sizes)
     raw_h = np.asarray(raw)
     acap, lcap = rle_device.plan_capacities(cb_h)
-    subrows = np.asarray(
-        rle_device.pack_active(cchunks, desc, chunk_bytes, mf, acap, lcap)
+    subrows, aidx, abytes = rle_device.pack_active(
+        cchunks, desc, chunk_bytes, mf, acap, lcap
     )
+    # exercise the sparse host assembly (the production path)
+    acount = int(np.asarray(counts)[0])
+    subrows = np.asarray(subrows)
     raw_bytes = (
         np.ascontiguousarray(coeff_blocks[raw_h], dtype=F32).view(np.uint8)
         if raw_h.any()
         else None
     )
-    stream, total = rle_device.assemble_payload(
+    stream, total = rle_device.assemble_payload_sparse(
+        subrows, np.asarray(aidx), np.asarray(abytes), acount,
+        sizes_h, raw_h, raw_bytes, cells, chunk
+    )
+    # and cross-check the dense assembly agrees
+    stream2, total2 = rle_device.assemble_payload(
         subrows, cb_h, sizes_h, raw_h, raw_bytes, cells, chunk
     )
+    assert total2 == total
+    np.testing.assert_array_equal(stream, stream2)
     out, pos = [], 0
     for s in sizes_h:
         out.append(stream[pos : pos + s].tobytes())
