@@ -97,7 +97,7 @@ def bench_device_compress(vol, block, scale, rtt, iters=6):
 
     def full(v):
         chunks, desc, cb, mf, counts = run(v)
-        sub, aidx, ab = rle_device.pack_active(chunks, desc, cb, mf, acap, lcap)
+        sub, aidx, ab = rle_device.pack_active(chunks, desc, cb, acap, lcap)
         return sub
 
     fetch1(full(vd[0]))  # compile

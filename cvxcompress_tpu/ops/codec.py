@@ -33,9 +33,10 @@ F32 = np.float32
 
 @functools.partial(jax.jit, static_argnames=("use_local", "block", "chunk"))
 def _stage_w(vol, glob_mulfac, scale, use_local, block, chunk):
-    """Wavelet stage: vol (nz,ny,nx) -> (coeff_rows, coeff_chunks, mf).
+    """Wavelet stage: vol (nz,ny,nx) -> (fv_rows, fv_chunks, mf).
 
-    Emits the coefficients in BOTH downstream layouts as jit outputs —
+    Emits PRE-SCALED (mulfac * coeff) coefficients in BOTH downstream
+    layouts as jit outputs —
     tokenize's (nrows, row) compute layout and pack/gather's
     (nchunks, chunk) layout.  Output-boundary relayouts are near-free,
     while the same reshapes inside a consumer jit trigger pathological
@@ -51,9 +52,10 @@ def _stage_w(vol, glob_mulfac, scale, use_local, block, chunk):
         mf = jnp.broadcast_to(glob_mulfac, (n,)).astype(jnp.float32)
     coeffs2d = coeffs.reshape(n, -1)
     cells = coeffs2d.shape[1]
+    fv2d = (coeffs2d * mf[:, None]).astype(jnp.float32)
     return (
-        rle_device.as_rows(coeffs2d),
-        coeffs2d.reshape(n * (cells // chunk), chunk),
+        rle_device.as_rows(fv2d),
+        fv2d.reshape(n * (cells // chunk), chunk),
         mf,
     )
 
@@ -62,10 +64,11 @@ def _stage_w(vol, glob_mulfac, scale, use_local, block, chunk):
 def _stage_w_pallas(vol, glob_mulfac, scale, use_local, block, chunk):
     """Wavelet stage feeding the Pallas tokenize kernel.
 
-    Emits PRE-SCALED (mulfac * coeff) chunk-layout coefficients, padded to
-    the kernel's tile grid — the scale multiply and zero padding fuse into
-    the output write for free — plus the unscaled chunks (pack stage, raw
-    blocks) and mf.
+    Emits ONE array: pre-scaled (mulfac * coeff) chunk-layout
+    coefficients padded to the kernel's tile grid (the scale multiply and
+    padding fuse into the output write).  The pack stage gathers from a
+    row-slice of the same buffer; raw-fallback blocks (rare) recompute
+    their unscaled coefficients via _raw_chunks.
     """
     from . import tokenize_pallas as tp
 
@@ -87,7 +90,7 @@ def _stage_w_pallas(vol, glob_mulfac, scale, use_local, block, chunk):
     fvp = jnp.concatenate(
         [fv, jnp.zeros((pad, chunk), jnp.float32)], axis=0
     )
-    return fvp, chunks, mf
+    return fvp, mf
 
 
 def use_pallas():
@@ -107,19 +110,22 @@ def _encode_device(vol_dev, glob_mulfac, scale, use_local, block, chunk):
     bx, by, bz = block
     cells = bx * by * bz
     if use_pallas() and chunk == tp.LANES:
-        fvp, chunks, mf = _stage_w_pallas(
+        fvp, mf = _stage_w_pallas(
             vol_dev, glob_mulfac, scale, use_local, block, chunk
         )
         n = mf.shape[0]
+        nchunks = n * (cells // chunk)
         desc, cb, sizes, raw, counts = tp.tokenize_desc_fast(
             fvp, n, cells // chunk, chunk
         )
+        chunks = fvp[:nchunks]
     else:
         rows, chunks, mf = _stage_w(
             vol_dev, glob_mulfac, scale, use_local, block, chunk
         )
+        n = mf.shape[0]
         desc, cb, sizes, raw, counts = rle_device.tokenize_desc(
-            rows, mf, chunk
+            rows, n, chunk
         )
     return chunks, desc, cb, sizes, raw, counts, mf
 
@@ -127,6 +133,15 @@ def _encode_device(vol_dev, glob_mulfac, scale, use_local, block, chunk):
 @jax.jit
 def _gather_rows(mat, idx):
     return jnp.take(mat, idx, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "chunk"))
+def _raw_chunks(vol, block, chunk):
+    """Unscaled coefficient chunks (raw-fallback payload source, rare)."""
+    b = blk.to_blocks(vol, block)
+    coeffs = wavelet.forward_3d(b)
+    n = coeffs.shape[0]
+    return coeffs.reshape(n, -1).reshape(-1, chunk)
 
 
 def compress(vol, scale, block=(32, 32, 32), use_local_rms=False):
@@ -151,7 +166,7 @@ def compress(vol, scale, block=(32, 32, 32), use_local_rms=False):
     acap = rle_device.bucket(acount)
     lcap = rle_device.bucket(lcount)
     subrows, aidx, abytes = rle_device.pack_active(
-        coeff_chunks, desc, chunk_bytes, mf, acap, lcap
+        coeff_chunks, desc, chunk_bytes, acap, lcap
     )
     subrows_h = np.asarray(subrows)
     sizes_h = np.asarray(sizes)
@@ -159,12 +174,14 @@ def compress(vol, scale, block=(32, 32, 32), use_local_rms=False):
 
     raw_bytes_h = None
     if raw_h.any():
-        # raw blocks: each block's cells are ncpb consecutive chunk rows
-        ncpb = cells // chunk
+        # raw blocks store the UNSCALED coefficients (CvxCompress.cpp:359);
+        # the hot path keeps only scaled ones, so recompute (rare path)
         rblk = np.nonzero(raw_h)[0].astype(np.int32)
+        uchunks = _raw_chunks(jnp.asarray(vol), (bx, by, bz), chunk)
+        ncpb = cells // chunk
         ridx = (rblk[:, None] * ncpb + np.arange(ncpb, dtype=np.int32)).ravel()
         raw_bytes_h = (
-            np.asarray(_gather_rows(coeff_chunks, jnp.asarray(ridx)))
+            np.asarray(_gather_rows(uchunks, jnp.asarray(ridx)))
             .reshape(rblk.size, cells)
             .view(np.uint8)
         )

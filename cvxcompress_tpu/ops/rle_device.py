@@ -202,12 +202,13 @@ def _cost(mode, izero, is_byte, is_short, is_i3, run_end, run_len):
     ).astype(I32)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
-def tokenize_desc(coeffs, mulfac, chunk):
+@functools.partial(jax.jit, static_argnames=("nblocks", "chunk"))
+def tokenize_desc(fv_rows, nblocks, chunk):
     """PASS 1: per-cell descriptors + per-chunk/per-block byte accounting.
 
-    coeffs (nrows, row) f32 in the canonical compute layout (`as_rows`),
-    mulfac (N,) f32, chunk static (divides cells).  Returns:
+    fv_rows (nrows, row) f32: PRE-SCALED coefficients (mulfac * coeff) in
+    the canonical compute layout (`as_rows`); chunk static (divides
+    cells).  Returns:
       desc        (N*cells//chunk, chunk) int32   cost|run_end|run_len
       chunk_bytes (N*cells//chunk,)       int32   0 for raw blocks
       sizes       (N,) int32   per-block payload size (4*cells when raw)
@@ -220,16 +221,14 @@ def tokenize_desc(coeffs, mulfac, chunk):
     PERF_NOTES.md); across jit boundaries they are near-free.  The codec
     drives the stages as separate jits for exactly this reason.
     """
-    n = mulfac.shape[0]
-    nrows, row = coeffs.shape
+    n = nblocks
+    nrows, row = fv_rows.shape
     rpb = nrows // n
     c = rpb * row
     assert c % chunk == 0 and chunk % 8 == 0
     ncpb = c // chunk
     nchunks = n * ncpb
-    x = coeffs
-    mfc = jnp.broadcast_to(mulfac[:, None], (n, rpb)).reshape(nrows, 1)
-    _, iv = quant.quantize(x, mfc)
+    _, iv = quant.quantize(fv_rows, jnp.float32(1.0))
     izero, is_byte, is_short, is_i3 = _classify(iv)
     mode = _group_modes(izero, is_byte, is_short, is_i3, (nrows, row))
     run_end, run_len = _run_structure(izero, n, rpb, row)
@@ -331,45 +330,40 @@ def _fit(a, cap, fill=0):
 
 
 @functools.partial(jax.jit, static_argnames=("acap", "lcap"))
-def pack_active(coeff_chunks, desc, chunk_bytes, mulfac, acap, lcap):
+def pack_active(fv_chunks, desc, chunk_bytes, acap, lcap):
     """PASS 2: row-gather active chunks, pack their payload bytes.
 
-    coeff_chunks (nchunks, chunk) f32 in chunk layout (same jit-output
-    layout rule as tokenize_desc), desc/chunk_bytes from tokenize_desc,
-    mulfac (N,).  acap/lcap: static buckets >= the active-chunk /
-    live-subrow counts (host-chosen from chunk_bytes).  Returns
-    (subrows (lcap, SUBROW) u8); live subrows hold the per-chunk payloads,
-    front-packed, in block order.
+    fv_chunks (nchunks, chunk) f32: PRE-SCALED coefficients in chunk
+    layout (same jit-output layout rule as tokenize_desc),
+    desc/chunk_bytes from tokenize_desc.  acap/lcap: static buckets >=
+    the active-chunk / live-subrow counts (host-chosen).  Returns
+    (subrows (lcap, SUBROW) u8, aidx, abytes); live subrows hold the
+    per-chunk payloads, front-packed, in block order.
     """
-    nchunks, chunk = coeff_chunks.shape
-    n = mulfac.shape[0]
-    ncpb = nchunks // n
+    nchunks, chunk = fv_chunks.shape
     spq = 5 * chunk // SUBROW  # subrows per chunk staging row
 
-    # -- active-chunk scalar compaction (index + mulfac travel together)
+    # -- active-chunk scalar compaction
     live = chunk_bytes > 0
     cidx = jnp.arange(nchunks, dtype=I32)
-    cmf = jnp.broadcast_to(mulfac[:, None], (n, ncpb)).reshape(nchunks)
-    cmf_bits = jax.lax.bitcast_convert_type(cmf, I32)
-    (aidx, abytes, amf_bits), count = pack.compact_live(
-        (cidx, chunk_bytes, cmf_bits), live, pack.ceil_log2(nchunks)
+    (aidx, abytes), count = pack.compact_live(
+        (cidx, chunk_bytes), live, pack.ceil_log2(nchunks)
     )
     aidx = _fit(jnp.where(jnp.arange(nchunks, dtype=I32) < count, aidx, 0), acap)
     abytes = _fit(
         jnp.where(jnp.arange(nchunks, dtype=I32) < count, abytes, 0), acap
     )
-    amf = jax.lax.bitcast_convert_type(_fit(amf_bits, acap), jnp.float32)
 
     # -- row-gather active chunks (row-granular: fast on TPU)
-    cf = jnp.take(coeff_chunks, aidx, axis=0)
+    fvg = jnp.take(fv_chunks, aidx, axis=0)
     dsc = jnp.take(desc, aidx, axis=0)
 
     # -- rebuild token bytes on the active rows only
-    fv, iv = quant.quantize(cf, amf[:, None])
+    fv, iv = quant.quantize(fvg, jnp.float32(1.0))
     izero, is_byte, is_short, is_i3 = _classify(iv)
     mode = _group_modes(izero, is_byte, is_short, is_i3, (acap, chunk))
     p0, p1, p2, p3_, p4, cost = _planes(
-        cf, iv, fv, dsc, mode, izero, is_byte, is_short, is_i3
+        fvg, iv, fv, dsc, mode, izero, is_byte, is_short, is_i3
     )
 
     # -- cell-major staging (A, 5Q) and monotone front-pack

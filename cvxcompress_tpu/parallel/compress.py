@@ -75,16 +75,19 @@ def _stage1(mesh, use_local, chunk):
             mf = jnp.broadcast_to(glob_mf, (n,)).astype(jnp.float32)
         coeffs2d = coeffs.reshape(n, -1)
         cells = coeffs2d.shape[1]
+        fv2d = (coeffs2d * mf[:, None]).astype(jnp.float32)
         desc, chunk_bytes, sizes, raw, _counts = rle_device.tokenize_desc(
-            rle_device.as_rows(coeffs2d), mf, chunk
+            rle_device.as_rows(fv2d), n, chunk
         )
-        cchunks = coeffs2d.reshape(n * (cells // chunk), chunk)
-        return cchunks, desc, chunk_bytes, sizes, raw, mf
+        nch = n * (cells // chunk)
+        # scaled chunks feed pack; unscaled chunks feed raw-block payloads
+        return (fv2d.reshape(nch, chunk), coeffs2d.reshape(nch, chunk),
+                desc, chunk_bytes, sizes, raw, mf)
 
     sm = shard_map(
         run, mesh=mesh,
         in_specs=(P(meshlib.BLOCK_AXIS, None, None, None), P(), P()),
-        out_specs=(spec_b, spec_b, spec_b, spec_b, spec_b, spec_b),
+        out_specs=(spec_b,) * 7,
     )
     return jax.jit(sm)
 
@@ -93,9 +96,9 @@ def _stage1(mesh, use_local, chunk):
 def _stage2(mesh, chunk, acap, lcap):
     """Sharded per-shard packing (PASS 2) at static caps. Cached per config."""
 
-    def run(cchunks, desc, chunk_bytes, mf):
+    def run(fvchunks, desc, chunk_bytes):
         return rle_device.pack_active(
-            cchunks, desc, chunk_bytes, mf, acap, lcap
+            fvchunks, desc, chunk_bytes, acap, lcap
         )[0][None]
 
     sm = shard_map(
@@ -103,7 +106,6 @@ def _stage2(mesh, chunk, acap, lcap):
         in_specs=(
             P(meshlib.BLOCK_AXIS, None),
             P(meshlib.BLOCK_AXIS, None),
-            P(meshlib.BLOCK_AXIS),
             P(meshlib.BLOCK_AXIS),
         ),
         out_specs=P(meshlib.BLOCK_AXIS, None, None),
@@ -139,7 +141,7 @@ def compress(vol, scale, block=(32, 32, 32), use_local_rms=False, mesh=None):
     chunk = rle_device.chunk_cells(cells)
     ncpb = cells // chunk
 
-    cchunks, desc, chunk_bytes, sizes, raw, mf = _stage1(
+    fvchunks, cchunks, desc, chunk_bytes, sizes, raw, mf = _stage1(
         mesh, use_local_rms, chunk
     )(blocks_d, jnp.float32(glob_mulfac), jnp.float32(scale))
     cb_h = np.asarray(chunk_bytes)
@@ -154,7 +156,7 @@ def compress(vol, scale, block=(32, 32, 32), use_local_rms=False, mesh=None):
         acap, lcap = max(acap, a), max(lcap, l)
 
     subrows = np.asarray(
-        _stage2(mesh, chunk, acap, lcap)(cchunks, desc, chunk_bytes, mf)
+        _stage2(mesh, chunk, acap, lcap)(fvchunks, desc, chunk_bytes)
     )
 
     # per-shard live subrows -> one global flat buffer (shards are

@@ -70,16 +70,15 @@ def test_container_bit_equality_same_coefficients():
     flat = coeffs.reshape(6, -1)
     cells = flat.shape[1]
     chunk = rle_device.chunk_cells(cells)
-    cd = jnp.asarray(flat)
-    mfv = jnp.full((6,), mf, dtype=jnp.float32)
+    fv = jnp.asarray((flat * mf).astype(F32))
     desc, chunk_bytes, sizes, raw, counts = rle_device.tokenize_desc(
-        rle_device.as_rows(cd), mfv, chunk
+        rle_device.as_rows(fv), 6, chunk
     )
-    cchunks = cd.reshape(-1, chunk)
+    cchunks = fv.reshape(-1, chunk)
     cb_h, sizes_h, raw_h = map(np.asarray, (chunk_bytes, sizes, raw))
     acap, lcap = rle_device.plan_capacities(cb_h)
     subrows = np.asarray(
-        rle_device.pack_active(cchunks, desc, chunk_bytes, mfv, acap, lcap)[0]
+        rle_device.pack_active(cchunks, desc, chunk_bytes, acap, lcap)[0]
     )
     stream, total = rle_device.assemble_payload(
         subrows, cb_h, sizes_h, raw_h, None, cells, chunk

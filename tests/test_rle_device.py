@@ -14,19 +14,19 @@ def device_encode(coeff_blocks, mulfacs):
     """Run the full device encode path, return (list of payloads, raw flags)."""
     n, cells = coeff_blocks.shape
     chunk = rle_device.chunk_cells(cells)
-    cd = jnp.asarray(coeff_blocks)
-    mf = jnp.asarray(mulfacs, dtype=jnp.float32)
+    mf = np.asarray(mulfacs, dtype=F32)
+    fv = jnp.asarray((coeff_blocks * mf[:, None]).astype(F32))
     desc, chunk_bytes, sizes, raw, counts = rle_device.tokenize_desc(
-        rle_device.as_rows(cd), mf, chunk
+        rle_device.as_rows(fv), n, chunk
     )
     ncpb = cells // chunk
-    cchunks = cd.reshape(n * ncpb, chunk)
+    cchunks = fv.reshape(n * ncpb, chunk)
     cb_h = np.asarray(chunk_bytes)
     sizes_h = np.asarray(sizes)
     raw_h = np.asarray(raw)
     acap, lcap = rle_device.plan_capacities(cb_h)
     subrows, aidx, abytes = rle_device.pack_active(
-        cchunks, desc, chunk_bytes, mf, acap, lcap
+        cchunks, desc, chunk_bytes, acap, lcap
     )
     # exercise the sparse host assembly (the production path)
     acount = int(np.asarray(counts)[0])

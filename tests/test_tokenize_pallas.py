@@ -16,14 +16,11 @@ def run_both(coeffs, mulfacs):
     assert chunk == tp.LANES
     ncpb = cells // chunk
     nchunks = n * ncpb
-    mf = jnp.asarray(mulfacs, jnp.float32)
-
-    xla = rle_device.tokenize_desc(
-        rle_device.as_rows(jnp.asarray(coeffs)), mf, chunk
-    )
-
     fv = (coeffs.reshape(n, cells) * np.asarray(mulfacs, F32)[:, None]).astype(
         F32
+    )
+    xla = rle_device.tokenize_desc(
+        rle_device.as_rows(jnp.asarray(fv)), n, chunk
     )
     fvc = fv.reshape(nchunks, chunk)
     padded = np.zeros((tp.pad_rows(nchunks), chunk), dtype=F32)
