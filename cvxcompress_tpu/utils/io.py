@@ -1,0 +1,59 @@
+"""Container file IO: the compressed container IS the persistence format.
+
+The reference has no in-library checkpointing — benchmark CLIs fwrite the
+container to disk (Test_Compression.cpp:201-207).  These helpers make that a
+first-class operation, plus validated loading.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import container as ctn
+
+
+def save(path, data):
+    """Write a compressed container to disk."""
+    np.asarray(data, dtype=np.uint8).tofile(path)
+
+
+def load(path):
+    """Read and validate a compressed container; returns the uint8 array.
+
+    Raises ValueError on a corrupt or truncated container.
+    """
+    data = np.fromfile(path, dtype=np.uint8)
+    hdr, blkoffs, _, payload_base = ctn.unpack(data)  # validates
+    nnn = hdr.grid[3]
+    if data.size < payload_base:
+        raise ValueError(f"{path}: truncated container ({data.size} bytes)")
+    del blkoffs, nnn
+    return data
+
+
+def probe(data_or_path):
+    """Header summary of a container: dims, block, mode, sizes.
+
+    Returns a dict (for CLIs and debugging).
+    """
+    if isinstance(data_or_path, (str, bytes)) and not isinstance(
+        data_or_path, np.ndarray
+    ):
+        data = np.fromfile(data_or_path, dtype=np.uint8)
+    else:
+        data = np.asarray(data_or_path, dtype=np.uint8)
+    hdr, blkoffs, blkmf, payload_base = ctn.unpack(data)
+    nnn = hdr.grid[3]
+    raw_blocks = int((blkoffs < 0).sum())
+    ncells = hdr.nx * hdr.ny * hdr.nz
+    return {
+        "shape_zyx": (hdr.nz, hdr.ny, hdr.nx),
+        "block_xyz": (hdr.bx, hdr.by, hdr.bz),
+        "blocks": nnn,
+        "glob_mulfac": float(hdr.glob_mulfac),
+        "use_local_rms": hdr.use_local_rms,
+        "raw_blocks": raw_blocks,
+        "container_bytes": int(data.size),
+        "payload_bytes": int(data.size - payload_base - ctn.SLACK_BYTES),
+        "ratio": ncells * 4 / data.size,
+    }

