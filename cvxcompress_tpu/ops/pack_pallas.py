@@ -1,0 +1,247 @@
+"""Pallas TPU kernel for the pack pass (PASS 2 byte-packing core).
+
+The XLA formulation of the staging front-pack costs ~10 ms on the
+reference CI config: the 10 log-shift rounds each materialize the
+(acap, 5Q) staging to HBM, plus a pathological (A, Q, 5) interleave
+relayout.  This kernel does the whole byte-packing in ONE VMEM pass per
+row tile:
+
+  1. recompute quantized values + classes + group modes from the gathered
+     (A, 128) scaled coefficients (same lane-shift machinery as the
+     tokenize kernel),
+  2. rebuild the 5 token byte-planes from the descriptors,
+  3. interleave them into the (A, 640) cell-major staging **on the MXU**:
+     staging[:, 5i+k] = plane_k[:, i] is 5 spread matmuls plane_k @ S_k
+     with 0/1 selection matrices (exact in f32 for byte values),
+  4. compute per-byte move distances (5i - off_i via an in-register lane
+     prefix sum) and run all 10 monotone log-shift rounds in VMEM,
+  5. write the front-packed (A, 640) staging rows.
+
+Inputs are the row-gathered active chunks (gathers stay in XLA — row
+gathers are fast); the subrow squeeze stays in XLA too.  Byte-identical
+to rle_device.pack_active's staging (tested).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import tokenize_pallas as tp
+
+I32 = jnp.int32
+F32 = jnp.float32
+
+Q = 128  # chunk cells (lanes)
+SQ = 5 * Q  # staging slots per chunk
+GR = 512  # chunk rows per grid step
+
+_B_RLESC1 = 127
+_B_RLESC3 = 125
+_B_VLESC2 = 0x83
+_B_VLESC3 = 0x81
+_B_VLESC4 = 0x80
+_B_VLESC2_8X = 0x82
+_B_VLESC3_8X = 0x7E
+MAX_RUN24 = (1 << 24) - 1
+
+
+def available():
+    """Pallas kernels engage on real TPU backends only."""
+    return jax.default_backend() == "tpu"
+
+
+@functools.lru_cache(maxsize=None)
+def _spread_matrices():
+    """S_k (Q, 5Q) with S_k[i, 5i+k] = 1, and their sum S_all."""
+    ss = []
+    for k in range(5):
+        m = np.zeros((Q, SQ), np.float32)
+        m[np.arange(Q), 5 * np.arange(Q) + k] = 1.0
+        ss.append(m)
+    return np.stack(ss), np.stack(ss).sum(0)
+
+
+def _byte(v, k):
+    return jax.lax.shift_right_logical(v, jnp.int32(8 * k)) & 0xFF
+
+
+def _kernel(fv_ref, dsc_ref, s5_ref, sall_ref, out_ref):
+    fv = fv_ref[:]  # (GR, Q) f32 scaled coefficients of active chunks
+    dsc = dsc_ref[:]  # (GR, Q) i32 descriptors
+
+    lane = jax.lax.broadcasted_iota(I32, (GR, Q), 1)
+
+    # --- quantize + classes (identical to the tokenize kernel)
+    in_range = (fv >= jnp.float32(-2147483648.0)) & (
+        fv < jnp.float32(2147483648.0)
+    )
+    trv = jnp.trunc(jnp.where(in_range, fv, 0.0))
+    iv = jnp.where(in_range, trv.astype(I32), I32(tp.INT32_MIN))
+    izero = iv == 0
+    is_byte = (iv > -125) & (iv < 125)
+    is_short = (iv >= -32768) & (iv <= 32767)
+    is_i3 = (iv >= -8388608) & (iv <= 8388607)
+
+    code = (
+        izero.astype(I32)
+        + (is_byte.astype(I32) << 4)
+        + (is_short.astype(I32) << 8)
+        + (is_i3.astype(I32) << 12)
+    )
+    y = code
+    for s in (1, 2, 4):
+        y = y + jnp.where(lane < Q - s, pltpu.roll(y, Q - s, 1), 0)
+    nzero = y & 15
+    nb = (y >> 4) & 15
+    ns = (y >> 8) & 15
+    n3 = (y >> 12) & 15
+    nozero = nzero == 0
+    allbyte = nozero & (nb == 8)
+    allshort = nozero & ~allbyte & (ns == 8) & (nb + (8 - nb) * 3 > 17)
+    alli3 = (
+        nozero & ~allbyte & ~allshort & (n3 == 8)
+        & (nb + (ns - nb) * 3 + (8 - ns) * 4 > 25)
+    )
+    mode = jnp.where(allbyte, 1, jnp.where(allshort, 2, jnp.where(alli3, 3, 0)))
+    mode = jnp.where(lane % 8 == 0, mode, 0)
+    for s in (1, 2, 4):
+        mode = mode | jnp.where(lane >= s, pltpu.roll(mode, s, 1), 0)
+
+    # --- descriptor fields + planes (grammar identical to rle_device._planes)
+    cost = dsc & 7
+    run_end = (dsc >> 3) & 1
+    rl = jax.lax.shift_right_logical(dsc, 4)
+    lane0 = lane % 8 == 0
+    pb, ps, p3 = mode == 1, mode == 2, mode == 3
+    member = izero
+    cb_ = is_byte & ~izero
+    cs_ = is_short & ~is_byte
+    c3_ = is_i3 & ~is_short
+    big = rl >= 256
+    split = member & (cost == 5)
+    fvb = jax.lax.bitcast_convert_type(fv, I32)
+    del run_end
+
+    def sel(*pairs_and_default):
+        out = pairs_and_default[-1]
+        for i in range(len(pairs_and_default) - 3, -1, -2):
+            out = jnp.where(pairs_and_default[i], pairs_and_default[i + 1], out)
+        return out
+
+    plane0 = sel(
+        pb, _byte(iv, 0),
+        ps, jnp.where(lane0, _B_VLESC2_8X, _byte(iv, 0)),
+        p3, jnp.where(lane0, _B_VLESC3_8X, _byte(iv, 0)),
+        member, sel((rl == 1) & ~split, 0, big | split, _B_RLESC3, _B_RLESC1),
+        cb_, _byte(iv, 0),
+        cs_, _B_VLESC2,
+        c3_, _B_VLESC3,
+        _B_VLESC4,
+    )
+    plane1 = sel(
+        ps, jnp.where(lane0, _byte(iv, 0), _byte(iv, 1)),
+        p3, jnp.where(lane0, _byte(iv, 0), _byte(iv, 1)),
+        member, _byte(rl, 0),
+        cb_ | pb, 0,
+        cs_ | c3_, _byte(iv, 0),
+        _byte(fvb, 0),
+    )
+    plane2 = sel(
+        ps, _byte(iv, 1),
+        p3, jnp.where(lane0, _byte(iv, 1), _byte(iv, 2)),
+        member, _byte(rl, 1),
+        cs_ | c3_, _byte(iv, 1),
+        _byte(fvb, 1),
+    )
+    plane3 = sel(
+        p3, _byte(iv, 2),
+        member, _byte(rl, 2),
+        c3_, _byte(iv, 2),
+        _byte(fvb, 2),
+    )
+    plane4 = sel(
+        member, 0,
+        _byte(fvb, 3),
+    )
+
+    # --- MXU spread into cell-major staging: staging[:, 5i+k] = plane_k[:, i]
+    # HIGHEST precision: default f32 dots use bf16 MXU passes, which would
+    # corrupt integer payloads above 256 (dist bases reach 5*Q = 640)
+    hi = jax.lax.Precision.HIGHEST
+    s5 = s5_ref[:]  # (5, Q, SQ) selection matrices
+    staging = jnp.dot(plane0.astype(F32), s5[0],
+                      preferred_element_type=F32, precision=hi)
+    staging += jnp.dot(plane1.astype(F32), s5[1],
+                       preferred_element_type=F32, precision=hi)
+    staging += jnp.dot(plane2.astype(F32), s5[2],
+                       preferred_element_type=F32, precision=hi)
+    staging += jnp.dot(plane3.astype(F32), s5[3],
+                       preferred_element_type=F32, precision=hi)
+    staging += jnp.dot(plane4.astype(F32), s5[4],
+                       preferred_element_type=F32, precision=hi)
+    staging = staging.astype(I32)
+
+    # --- per-byte move distances: dist[5i+k] = 5i - off_i (live), -1 dead
+    # off = exclusive lane prefix sum of cost
+    ps_ = cost
+    for s in (1, 2, 4, 8, 16, 32, 64):
+        ps_ = ps_ + jnp.where(lane >= s, pltpu.roll(ps_, s, 1), 0)
+    off = ps_ - cost  # exclusive
+    base = 5 * lane - off
+    sall = sall_ref[:]  # (Q, SQ) sum of selections
+    d0 = jnp.dot((base + 1).astype(F32), sall,
+                 preferred_element_type=F32, precision=hi)
+    cost5 = jnp.dot(cost.astype(F32), sall,
+                    preferred_element_type=F32, precision=hi)
+    kcol = jax.lax.broadcasted_iota(I32, (GR, SQ), 1) % 5
+    liv = kcol < cost5.astype(I32)
+    dist = jnp.where(liv, d0.astype(I32) - 1, -1)
+
+    # --- monotone log-shift front-pack, all rounds in VMEM
+    lanes_sq = jax.lax.broadcasted_iota(I32, (GR, SQ), 1)
+    x = staging
+    s = 1
+    while s < SQ:
+        inc_d = jnp.where(lanes_sq < SQ - s, pltpu.roll(dist, SQ - s, 1), -1)
+        inc_x = jnp.where(lanes_sq < SQ - s, pltpu.roll(x, SQ - s, 1), 0)
+        take = (inc_d >= 0) & ((inc_d & s) != 0)
+        moveout = (dist >= 0) & ((dist & s) != 0)
+        x = jnp.where(take, inc_x, x)
+        dist = jnp.where(take, inc_d - s, jnp.where(moveout, -1, dist))
+        s *= 2
+    out_ref[:] = x
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pack_staging(fv_rows, desc_rows, interpret=False):
+    """(A, 128) gathered scaled coeffs + descriptors -> packed (A, 640) i32.
+
+    Each output row holds its chunk's payload bytes front-packed (values
+    0..255 in int32 lanes); trailing slots are garbage.
+    """
+    a, q = fv_rows.shape
+    assert q == Q and a % GR == 0
+    s5, sall = _spread_matrices()
+    out = pl.pallas_call(
+        _kernel,
+        grid=(a // GR,),
+        in_specs=[
+            pl.BlockSpec((GR, Q), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((GR, Q), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, Q, SQ), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, SQ), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((GR, SQ), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((a, SQ), jnp.int32),
+        interpret=interpret,
+    )(fv_rows, desc_rows, jnp.asarray(s5), jnp.asarray(sall))
+    return out

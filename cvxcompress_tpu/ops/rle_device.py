@@ -358,7 +358,17 @@ def pack_active(fv_chunks, desc, chunk_bytes, acap, lcap):
     fvg = jnp.take(fv_chunks, aidx, axis=0)
     dsc = jnp.take(desc, aidx, axis=0)
 
-    # -- rebuild token bytes on the active rows only
+    # -- rebuild token bytes + front-pack, Pallas kernel when available
+    from . import pack_pallas
+
+    if (
+        chunk == pack_pallas.Q
+        and acap % pack_pallas.GR == 0
+        and pack_pallas.available()
+    ):
+        packed = pack_pallas.pack_staging(fvg, dsc).astype(U8)
+        return _subrow_squeeze(packed, abytes, acap, lcap, chunk, aidx)
+
     fv, iv = quant.quantize(fvg, jnp.float32(1.0))
     izero, is_byte, is_short, is_i3 = _classify(iv)
     mode = _group_modes(izero, is_byte, is_short, is_i3, (acap, chunk))
@@ -379,8 +389,12 @@ def pack_active(fv_chunks, desc, chunk_bytes, acap, lcap):
         livb, jnp.broadcast_to(base[:, :, None], (acap, chunk, 5)), -1
     ).astype(ddt).reshape(acap, 5 * chunk)
     packed, _ = pack.compact_rows(staging, dist, pack.ceil_log2(5 * chunk))
+    return _subrow_squeeze(packed, abytes, acap, lcap, chunk, aidx)
 
-    # -- live-subrow selection + row-gather (d2h ∝ compressed bytes)
+
+def _subrow_squeeze(packed, abytes, acap, lcap, chunk, aidx):
+    """Live-subrow selection + row-gather (d2h ∝ compressed bytes)."""
+    spq = 5 * chunk // SUBROW
     nsub = (abytes + (SUBROW - 1)) // SUBROW  # ceil(s/64) per active chunk
     sub_live = (
         jnp.arange(spq, dtype=I32)[None, :] < nsub[:, None]

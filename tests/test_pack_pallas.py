@@ -1,0 +1,57 @@
+"""Pallas pack kernel vs XLA staging front-pack (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from cvxcompress_tpu.ops import pack, pack_pallas as pp
+from cvxcompress_tpu.ops import quant, rle_device
+
+F32 = np.float32
+
+
+def xla_packed(fvg, dsc, acap, chunk):
+    fv, iv = quant.quantize(fvg, jnp.float32(1.0))
+    izero, ib, isx, i3 = rle_device._classify(iv)
+    mode = rle_device._group_modes(izero, ib, isx, i3, (acap, chunk))
+    p0, p1, p2, p3_, p4, cost = rle_device._planes(
+        fvg, iv, fv, dsc, mode, izero, ib, isx, i3
+    )
+    staging = jnp.stack(
+        [p.astype(jnp.uint8) for p in (p0, p1, p2, p3_, p4)], axis=-1
+    ).reshape(acap, 5 * chunk)
+    off = jnp.cumsum(cost, axis=1) - cost
+    base = 5 * jnp.arange(chunk, dtype=jnp.int32)[None, :] - off
+    kio = jnp.arange(5, dtype=jnp.int32)[None, None, :]
+    livb = kio < cost[:, :, None]
+    dist = jnp.where(
+        livb, jnp.broadcast_to(base[:, :, None], (acap, chunk, 5)), -1
+    ).astype(jnp.int16).reshape(acap, 5 * chunk)
+    packed, _ = pack.compact_rows(staging, dist, pack.ceil_log2(5 * chunk))
+    return np.asarray(packed), np.asarray(cost)
+
+
+def test_pack_kernel_matches_xla(rng):
+    chunk = 128
+    acap = pp.GR  # one grid step in interpret mode
+    # synthesize active-chunk data: scaled coeffs with varied magnitudes
+    fv = (rng.standard_normal((acap, chunk)) * 1e3).astype(F32)
+    fv[rng.random((acap, chunk)) < 0.6] = 0.0
+    fv[0, :8] = [1, -1, 124, -124, 2, 3, 4, 5]  # allbyte group
+    fv[1, :8] = [200, -200, 300, -300, 1000, -1000, 32767, -32768]
+    fv[2, :8] = [1e5, -1e5, 8388607, -8388608, 7e4, -7e4, 99999, -99999]
+    fv[3, 5] = np.nan
+    fv[3, 9] = 3e12
+
+    # descriptors from the tokenize pass (1 block of acap chunks)
+    desc, cb, sizes, raw, counts = rle_device.tokenize_desc(
+        rle_device.as_rows(fv.reshape(1, -1)), 1, chunk
+    )
+    want, cost = xla_packed(jnp.asarray(fv), desc, acap, chunk)
+    got = np.asarray(
+        pp.pack_staging(jnp.asarray(fv), desc, interpret=True)
+    ).astype(np.uint8)
+    # compare only the live (front-packed payload) region of each row
+    sizes_row = cost.sum(1)
+    for r in range(acap):
+        s = int(sizes_row[r])
+        np.testing.assert_array_equal(got[r, :s], want[r, :s], err_msg=f"row {r}")
