@@ -132,9 +132,9 @@ def _kernel(fv_ref, nxt_ref, desc_ref, carry_ref, *, ncpb):
     lnm = jnp.where(member, I32(-1), gidx)
     lnm = _cumscan_max(lnm, 1, lane, I32(-1))  # within row (lane order)
     rowmax = jnp.max(lnm, axis=1, keepdims=True)  # (TR, 1)
-    rowmax = jnp.broadcast_to(rowmax, (TR, LANES))
-    rowcarry = _cumscan_max(rowmax, 0, rows, I32(-1))  # inclusive over rows
-    prev_rows = jnp.where(rows == 0, I32(-1), pltpu.roll(rowcarry, 1, 0))
+    rows1 = jax.lax.broadcasted_iota(I32, (TR, 1), 0)
+    rowcarry = _cumscan_max(rowmax, 0, rows1, I32(-1))  # narrow row scan
+    prev_rows = jnp.where(rows1 == 0, I32(-1), pltpu.roll(rowcarry, 1, 0))
     carry_in = carry_ref[0]
     lastnm_glob = jnp.maximum(lnm, jnp.maximum(prev_rows, carry_in))
     carry_ref[0] = jnp.maximum(carry_in, jnp.max(lnm))
