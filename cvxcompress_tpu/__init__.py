@@ -18,3 +18,4 @@ __version__ = "0.1.0"
 
 from . import container  # noqa: F401
 from .api import CvxCompress, compress, decompress  # noqa: F401
+from .snapshots import DeviceSnapshotStack  # noqa: F401
