@@ -158,6 +158,37 @@ def bench_host_stream(vol, block, scale, n_vols=4, workers=6):
     return el / n_vols, res[0]
 
 
+def bench_snapshots(vol, block, scale, rtt, iters=6):
+    """DeviceSnapshotStack append/reconstruct throughput (HBM-resident)."""
+    import jax
+
+    from cvxcompress_tpu.snapshots import DeviceSnapshotStack
+
+    store = DeviceSnapshotStack(vol.shape, scale, block=block,
+                                max_pending=iters + 1)
+    vd = jax.device_put(vol)
+    i = store.append(vd)
+    fetch1(store._snaps[-1][0])  # pre-warm the payload-shape fetch path
+    fetch1(store.get(i))
+    store.pop()
+    vols = [vd * (1.0 + 1e-6 * j) for j in range(iters)]
+    fetch1(vols[-1])
+
+    t0 = time.perf_counter()
+    for v in vols:
+        store.append(v)
+    fetch1(store._snaps[-1][0])
+    t_app = max((time.perf_counter() - t0 - rtt) / iters, 1e-9)
+    store.flush()
+    t0 = time.perf_counter()
+    last = None
+    for _ in range(iters):
+        last = store.pop()
+    fetch1(last)
+    t_pop = max((time.perf_counter() - t0 - rtt) / iters, 1e-9)
+    return t_app, t_pop
+
+
 def bench_quality(vol, block, scale):
     from cvxcompress_tpu.ops import codec as jcodec
 
@@ -187,8 +218,8 @@ def main():
 
     # --- config A: reference CI config -------------------------------
     if args.quick:
-        shape_a, block_a = (96, 64, 64), (32, 32, 32)
-        shape_b, block_b = (128, 128, 128), (128, 128, 128)
+        shape_a, block_a = (160, 192, 160), (32, 32, 32)
+        shape_b, block_b = (256, 256, 256), (128, 128, 128)
         iters, n_stream = 3, 2
     else:
         shape_a, block_a = (352, 416, 320), (32, 32, 32)
@@ -218,6 +249,11 @@ def main():
         log(f"[{name}] host-path pipelined compress {t_h*1e3:.0f} ms/vol = "
             f"{host_c:.0f} MC/s (tunnel-bound)")
 
+        t_app, t_pop = bench_snapshots(vol, block, scale, rtt, iters)
+        snap_a, snap_p = ncells / t_app / 1e6, ncells / t_pop / 1e6
+        log(f"[{name}] snapshot stack append {snap_a:.0f} MC/s, "
+            f"reconstruct {snap_p:.0f} MC/s")
+
         results[name] = {
             "cells": int(ncells),
             "ratio": round(float(ratio), 1),
@@ -226,6 +262,8 @@ def main():
             "device_compress_mcells_s": round(dev_c, 1),
             "device_decompress_mcells_s": round(dev_d, 1),
             "host_pipelined_compress_mcells_s": round(host_c, 1),
+            "snapshot_append_mcells_s": round(snap_a, 1),
+            "snapshot_reconstruct_mcells_s": round(snap_p, 1),
         }
 
     detail.update(results)

@@ -262,7 +262,16 @@ def sparse_chunks(coeffs, cells, chunk):
     """
     nchunks = coeffs.size // chunk
     rows = coeffs.reshape(nchunks, chunk)
-    flags = rows.any(axis=1)
+    try:
+        from . import rle_host
+
+        flags = (
+            rle_host.chunk_flags(rows, chunk)
+            if rle_host.available()
+            else rows.any(axis=1)
+        )
+    except Exception:
+        flags = rows.any(axis=1)
     idx = np.nonzero(flags)[0]
     acap = rle_device.bucket(idx.size, lo=1)
     payload = np.zeros((acap, chunk), dtype=F32)

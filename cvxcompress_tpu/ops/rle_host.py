@@ -68,6 +68,10 @@ def _load():
         ]
         lib.cvx_sumsq_f64.restype = ctypes.c_double
         lib.cvx_sumsq_f64.argtypes = [_f32p, ctypes.c_int64]
+        lib.cvx_chunk_flags.restype = None
+        lib.cvx_chunk_flags.argtypes = [
+            _f32p, ctypes.c_int64, ctypes.c_int64, _u8p,
+        ]
         lib.cvx_wav_fwd_blocks.restype = None
         lib.cvx_wav_fwd_blocks.argtypes = [
             _f32p, ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -172,6 +176,17 @@ def encode_payloads(coeffs, mulfacs):
         sizes.ctypes.data_as(_i64p), raw.ctypes.data_as(_u8p),
     )
     return buf, stride, sizes, raw.astype(bool)
+
+
+def chunk_flags(coeffs, chunk):
+    """Per-chunk nonzero flags of a dense (nnn, cells) f32 buffer (native)."""
+    lib = _load()
+    c = np.ascontiguousarray(coeffs, dtype=F32)
+    nchunks = c.size // int(chunk)
+    flags = np.empty(nchunks, dtype=np.uint8)
+    lib.cvx_chunk_flags(_fp(c), nchunks, int(chunk),
+                        flags.ctypes.data_as(_u8p))
+    return flags.astype(bool)
 
 
 def sumsq_f64(vol):

@@ -67,6 +67,9 @@ def _stage1(mesh, use_local, chunk):
     spec_b = P(meshlib.BLOCK_AXIS)
 
     def run(blocks, glob_mf, scale):
+        from ..ops import codec as _codec
+        from ..ops import tokenize_pallas as tp
+
         coeffs = wavelet.forward_3d(blocks)
         n = coeffs.shape[0]
         if use_local:
@@ -76,10 +79,20 @@ def _stage1(mesh, use_local, chunk):
         coeffs2d = coeffs.reshape(n, -1)
         cells = coeffs2d.shape[1]
         fv2d = (coeffs2d * mf[:, None]).astype(jnp.float32)
-        desc, chunk_bytes, sizes, raw, _counts = rle_device.tokenize_desc(
-            rle_device.as_rows(fv2d), n, chunk
-        )
         nch = n * (cells // chunk)
+        if _codec.use_pallas() and chunk == tp.LANES:
+            fvc = fv2d.reshape(nch, chunk)
+            pad = tp.pad_rows(nch) - nch
+            fvp = jnp.concatenate(
+                [fvc, jnp.zeros((pad, chunk), jnp.float32)], axis=0
+            )
+            desc, chunk_bytes, sizes, raw, _counts = tp.tokenize_desc_fast(
+                fvp, n, cells // chunk, chunk
+            )
+        else:
+            desc, chunk_bytes, sizes, raw, _counts = rle_device.tokenize_desc(
+                rle_device.as_rows(fv2d), n, chunk
+            )
         # scaled chunks feed pack; unscaled chunks feed raw-block payloads
         return (fv2d.reshape(nch, chunk), coeffs2d.reshape(nch, chunk),
                 desc, chunk_bytes, sizes, raw, mf)

@@ -444,6 +444,20 @@ double cvx_sumsq_f64(const float* vol, int64_t n) {
   return acc;
 }
 
+// Per-chunk nonzero flags over a dense coefficient buffer: used by the
+// decompress path to build the chunk-sparse device upload (only chunks
+// with surviving coefficients travel host->device).
+void cvx_chunk_flags(const float* coeffs, int64_t nchunks, int64_t chunk,
+                     uint8_t* flags) {
+#pragma omp parallel for schedule(static)
+  for (int64_t c = 0; c < nchunks; ++c) {
+    const float* p = coeffs + c * chunk;
+    uint8_t any = 0;
+    for (int64_t i = 0; i < chunk; ++i) any |= (p[i] != 0.0f);
+    flags[c] = any;
+  }
+}
+
 // ---------------------------------------- full host codec + reference C ABI
 
 static float host_compress(float scale, const float* vol, int nx, int ny,

@@ -124,3 +124,24 @@ def test_compressed_size_close_to_oracle():
     dj, _ = jcodec.compress(vol, 1e-2, block=(8, 8, 8))
     do, _ = ocodec.compress(vol, 1e-2, block=(8, 8, 8))
     assert abs(int(dj.size) - int(do.size)) <= max(64, 0.01 * do.size)
+
+
+@pytest.mark.parametrize(
+    "vol_shape,block",
+    [
+        ((8, 8, 256), (256, 8, 8)),   # max block extent on the fast axis
+        ((256, 8, 8), (8, 8, 256)),   # max extent on the slow axis
+        ((64, 64, 64), (64, 64, 64)), # single big cubic block
+        ((4, 128, 128), (128, 128, 1)),  # 2D blocks over a thin volume
+    ],
+)
+def test_extreme_block_shapes(vol_shape, block):
+    vol = make_radial_volume(*vol_shape)
+    data, _ = jcodec.compress(vol, 1e-3, block=block)
+    out = jcodec.decompress(data)
+    err, _ = rel_error_and_snr(vol, out)
+    assert err < 2e-3, (vol_shape, block, err)
+    # cross-backend: oracle decodes the same container
+    out2 = ocodec.decompress(data)
+    err2, _ = rel_error_and_snr(vol, out2)
+    assert err2 < 2e-3
