@@ -1,0 +1,159 @@
+"""Container interoperability against the ACTUAL reference library.
+
+Builds ChevronETC/CvxCompress itself (patched to use native x86 intrinsics
+in place of the absent simde submodule) and round-trips containers in both
+directions through its C ABI (CvxCompress.hxx:139-192):
+
+    ours(jax) -> reference decompress
+    reference -> ours(jax/oracle) decompress
+    compressed size parity
+
+Float outputs are compared at 1e-4 relative RMS: the reference's fast
+inverse uses AVX2+FMA accumulation orders that differ from our matmul
+(and from its own slow path — the reference holds itself to 1e-5,
+CvxCompress.cpp:597); the entropy layers are bit-compatible by format.
+
+Skipped when /root/reference or an x86-64 toolchain is unavailable.
+"""
+
+import ctypes
+import os
+import platform
+import shutil
+import subprocess
+import tempfile
+
+import numpy as np
+import pytest
+
+import cvxcompress_tpu as cvx
+from conftest import make_radial_volume, rel_error_and_snr
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(REF, "makefile"))
+    or platform.machine() != "x86_64",
+    reason="reference tree or x86-64 toolchain unavailable",
+)
+
+
+@pytest.fixture(scope="module")
+def ref_lib():
+    build = os.path.join(tempfile.gettempdir(), "cvx_ref_build")
+    so = os.path.join(build, "libcvxcompress.so")
+    if not os.path.exists(so):
+        shutil.rmtree(build, ignore_errors=True)
+        shutil.copytree(REF, build)
+        # the simde submodule is not vendored; on x86-64 the real
+        # intrinsics headers are a drop-in replacement
+        for f in ("CvxCompress.cpp", "Run_Length_Encode_Slow.cpp",
+                  "Block_Copy.hxx"):
+            p = os.path.join(build, f)
+            s = open(p).read().replace(
+                '#include "simde/x86/avx512.h"', "#include <immintrin.h>"
+            )
+            open(p, "w").write(s)
+        p = os.path.join(build, "Wavelet_Transform_Slow.cpp")
+        s = open(p).read().replace(
+            'fprintf(fp,"#include \\"simde/x86/avx.h\\"  '
+            '// AVX intrinsics\\n\\n");',
+            'fprintf(fp,"#include <immintrin.h>\\n\\n");',
+        )
+        open(p, "w").write(s)
+        res = subprocess.run(
+            ["make", "libcvxcompress.so"], cwd=build, capture_output=True
+        )
+        if res.returncode != 0:
+            pytest.skip(f"reference build failed: {res.stderr.decode()[-300:]}")
+
+    lib = ctypes.CDLL(so)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    u32p = ctypes.POINTER(ctypes.c_uint)
+    lib.cvx_compress.restype = ctypes.c_float
+    lib.cvx_compress.argtypes = [
+        ctypes.c_float, f32p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        u32p, ctypes.POINTER(ctypes.c_long),
+    ]
+    lib.cvx_decompress_inplace.restype = None
+    lib.cvx_decompress_inplace.argtypes = [
+        f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, u32p, ctypes.c_long,
+    ]
+    return lib
+
+
+def ref_compress(lib, vol, scale, block):
+    vol = np.ascontiguousarray(vol, dtype=np.float32)
+    nz, ny, nx = vol.shape
+    bx, by, bz = block
+    cap = vol.nbytes * 2 + (1 << 16)
+    out = np.zeros(cap, dtype=np.uint8)
+    length = ctypes.c_long(0)
+    ratio = lib.cvx_compress(
+        ctypes.c_float(scale), vol.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        nx, ny, nz, bx, by, bz,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint)),
+        ctypes.byref(length),
+    )
+    return out[: length.value].copy(), float(ratio)
+
+
+def ref_decompress(lib, data):
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    hdr = data[:12].view(np.uint32)
+    nx, ny, nz = int(hdr[0]), int(hdr[1]), int(hdr[2])
+    vol = np.empty((nz, ny, nx), dtype=np.float32)
+    lib.cvx_decompress_inplace(
+        vol.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        nx, ny, nz,
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint)),
+        ctypes.c_long(data.size),
+    )
+    return vol
+
+
+def test_ours_to_reference(ref_lib):
+    vol = make_radial_volume(nz=48, ny=64, nx=96)
+    data, _ = cvx.compress(vol, 1e-2, block=(32, 32, 32), backend="jax")
+    out = ref_decompress(ref_lib, data)
+    err, _ = rel_error_and_snr(vol, out)
+    assert err < 1e-2, err  # quantization-level error vs the input
+    # and the reference's decode of OUR container matches our own decode
+    ours = cvx.decompress(data, backend="jax")
+    rel = np.abs(out - ours).max() / (np.abs(ours).max() + 1e-30)
+    assert rel < 1e-4, rel
+
+
+def test_reference_to_ours(ref_lib):
+    vol = make_radial_volume(nz=48, ny=64, nx=96)
+    data, ratio = ref_compress(ref_lib, vol, 1e-2, (32, 32, 32))
+    assert ratio > 1.0
+    for backend in ("jax", "oracle"):
+        out = cvx.decompress(data, backend=backend)
+        err, _ = rel_error_and_snr(vol, out)
+        assert err < 1e-2, (backend, err)
+    ref_out = ref_decompress(ref_lib, data)
+    ours = cvx.decompress(data, backend="jax")
+    rel = np.abs(ref_out - ours).max() / (np.abs(ours).max() + 1e-30)
+    assert rel < 1e-4, rel
+
+
+def test_compressed_size_parity(ref_lib):
+    vol = make_radial_volume(nz=48, ny=64, nx=96)
+    ref_data, _ = ref_compress(ref_lib, vol, 1e-2, (32, 32, 32))
+    our_data, _ = cvx.compress(vol, 1e-2, block=(32, 32, 32), backend="jax")
+    # identical container accounting; payload sizes may wiggle by a few
+    # bytes where transform rounding crosses quantization boundaries
+    assert our_data.size <= ref_data.size + max(64, 0.002 * ref_data.size), (
+        our_data.size, ref_data.size,
+    )
+
+
+def test_reference_2d_interop(ref_lib):
+    vol = make_radial_volume(nz=1, ny=64, nx=64)
+    data, _ = ref_compress(ref_lib, vol, 1e-2, (32, 32, 1))
+    out = cvx.decompress(data, backend="jax")
+    err, _ = rel_error_and_snr(vol, out)
+    assert err < 1e-2
