@@ -144,8 +144,14 @@ def _raw_chunks(vol, block, chunk):
     return coeffs.reshape(n, -1).reshape(-1, chunk)
 
 
-def compress(vol, scale, block=(32, 32, 32), use_local_rms=False):
-    """Compress a (nz, ny, nx) float32 volume on TPU. Returns (container, ratio)."""
+def compress(vol, scale, block=(32, 32, 32), use_local_rms=False,
+             glob_mulfac=None):
+    """Compress a (nz, ny, nx) float32 volume on TPU. Returns (container, ratio).
+
+    `glob_mulfac` overrides the internally computed global quantization
+    factor — used by the sharded/multi-host layer, where the global RMS is
+    reduced across shards before any shard compresses.
+    """
     vol = np.ascontiguousarray(vol, dtype=F32)
     nz, ny, nx = vol.shape
     bx, by, bz = block
@@ -155,8 +161,10 @@ def compress(vol, scale, block=(32, 32, 32), use_local_rms=False):
 
     if use_local_rms:
         glob_mulfac = F32(1.0)
-    else:
+    elif glob_mulfac is None:
         glob_mulfac = ctn.compute_glob_mulfac(quant.global_rms_host(vol), scale)
+    else:
+        glob_mulfac = F32(glob_mulfac)
 
     coeff_chunks, desc, chunk_bytes, sizes, raw, counts, mf = _encode_device(
         jnp.asarray(vol), jnp.float32(glob_mulfac), jnp.float32(scale),

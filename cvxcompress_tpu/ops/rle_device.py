@@ -329,8 +329,11 @@ def _fit(a, cap, fill=0):
     return jnp.concatenate([a, pad])
 
 
-@functools.partial(jax.jit, static_argnames=("acap", "lcap"))
-def pack_active(fv_chunks, desc, chunk_bytes, acap, lcap):
+@functools.partial(
+    jax.jit, static_argnames=("acap", "lcap", "use_pallas_kernel")
+)
+def pack_active(fv_chunks, desc, chunk_bytes, acap, lcap,
+                use_pallas_kernel=None):
     """PASS 2: row-gather active chunks, pack their payload bytes.
 
     fv_chunks (nchunks, chunk) f32: PRE-SCALED coefficients in chunk
@@ -361,10 +364,12 @@ def pack_active(fv_chunks, desc, chunk_bytes, acap, lcap):
     # -- rebuild token bytes + front-pack, Pallas kernel when available
     from . import pack_pallas
 
+    if use_pallas_kernel is None:
+        use_pallas_kernel = pack_pallas.available()
     if (
-        chunk == pack_pallas.Q
+        use_pallas_kernel
+        and chunk == pack_pallas.Q
         and acap % pack_pallas.GR == 0
-        and pack_pallas.available()
     ):
         packed = pack_pallas.pack_staging(fvg, dsc).astype(U8)
         return _subrow_squeeze(packed, abytes, acap, lcap, chunk, aidx)

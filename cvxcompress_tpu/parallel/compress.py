@@ -51,6 +51,7 @@ def distributed_sumsq(vol_sharded, mesh):
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=P(meshlib.BLOCK_AXIS), out_specs=P(),
+        check_vma=False,
     )
     def _ss(shard):
         return jax.lax.psum(
@@ -65,9 +66,9 @@ def distributed_sumsq(vol_sharded, mesh):
 def _stage1(mesh, use_local, chunk):
     """Sharded forward wavelet + tokenize (PASS 1). Cached per (mesh, mode)."""
     spec_b = P(meshlib.BLOCK_AXIS)
+    pallas_ok = meshlib.is_tpu_mesh(mesh)
 
     def run(blocks, glob_mf, scale):
-        from ..ops import codec as _codec
         from ..ops import tokenize_pallas as tp
 
         coeffs = wavelet.forward_3d(blocks)
@@ -80,7 +81,7 @@ def _stage1(mesh, use_local, chunk):
         cells = coeffs2d.shape[1]
         fv2d = (coeffs2d * mf[:, None]).astype(jnp.float32)
         nch = n * (cells // chunk)
-        if _codec.use_pallas() and chunk == tp.LANES:
+        if pallas_ok and chunk == tp.LANES:
             fvc = fv2d.reshape(nch, chunk)
             pad = tp.pad_rows(nch) - nch
             fvp = jnp.concatenate(
@@ -101,6 +102,7 @@ def _stage1(mesh, use_local, chunk):
         run, mesh=mesh,
         in_specs=(P(meshlib.BLOCK_AXIS, None, None, None), P(), P()),
         out_specs=(spec_b,) * 7,
+        check_vma=False,  # pallas_call outputs carry no vma info
     )
     return jax.jit(sm)
 
@@ -108,10 +110,12 @@ def _stage1(mesh, use_local, chunk):
 @functools.lru_cache(maxsize=None)
 def _stage2(mesh, chunk, acap, lcap):
     """Sharded per-shard packing (PASS 2) at static caps. Cached per config."""
+    pallas_ok = meshlib.is_tpu_mesh(mesh)
 
     def run(fvchunks, desc, chunk_bytes):
         return rle_device.pack_active(
-            fvchunks, desc, chunk_bytes, acap, lcap
+            fvchunks, desc, chunk_bytes, acap, lcap,
+            use_pallas_kernel=pallas_ok,
         )[0][None]
 
     sm = shard_map(
@@ -122,6 +126,7 @@ def _stage2(mesh, chunk, acap, lcap):
             P(meshlib.BLOCK_AXIS),
         ),
         out_specs=P(meshlib.BLOCK_AXIS, None, None),
+        check_vma=False,  # pallas_call outputs carry no vma info
     )
     return jax.jit(sm)
 
@@ -223,6 +228,7 @@ def _inv_stage(mesh):
         run, mesh=mesh,
         in_specs=P(meshlib.BLOCK_AXIS, None, None, None),
         out_specs=P(meshlib.BLOCK_AXIS, None, None, None),
+        check_vma=False,
     )
     return jax.jit(sm)
 

@@ -25,6 +25,14 @@ def make_mesh(devices=None):
     return Mesh(np.asarray(devices), (BLOCK_AXIS,))
 
 
+def is_tpu_mesh(mesh):
+    """True when the mesh's devices are real TPU chips (Pallas-capable)."""
+    d = np.asarray(mesh.devices).ravel()[0]
+    return getattr(d, "platform", "") == "tpu" and "TPU" in getattr(
+        d, "device_kind", ""
+    )
+
+
 def block_sharding(mesh, ndim=4):
     """Sharding that splits a block batch along axis 0."""
     return NamedSharding(mesh, P(BLOCK_AXIS, *([None] * (ndim - 1))))
