@@ -18,8 +18,8 @@ Key design points:
     in SMEM scratch (TPU grid iteration is sequential).  Per-block run
     resets need no segmented scan: the within-block last-nonzero is just
     max(lastnm_global, block_base - 1) — earlier-block indices clamp away;
-  * run ends need ONE cell of lookahead: a second (1, 128) BlockSpec on
-    the same input delivers the next tile's first row;
+  * run ends need ONE cell of lookahead: a second (8, 128) window
+    BlockSpec on the same input delivers the next tile's first row;
   * grammar, guards and descriptor layout are bit-compatible with
     rle_device.tokenize_desc (tested against it and the NumPy oracle).
 
@@ -33,7 +33,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -201,10 +200,9 @@ def _kernel(fv_ref, nxt_ref, desc_ref, carry_ref, *, ncpb):
 def tokenize_tiles(fv_chunks, ncpb, interpret=False):
     """Run the kernel over (nchunks_pad, 128) scaled coefficients.
 
-    nchunks_pad must be a multiple of TR plus exactly one trailing pad row
-    (the lookahead row).  Returns (desc (nchunks_pad-1, 128) i32,
-    chunk_cost (nchunks_pad-1,) i32) — pad chunks produce garbage that the
-    caller slices off.
+    nchunks_pad must be a multiple of TR plus 8 trailing pad rows (the
+    lookahead window).  Returns desc (nchunks_pad-8, 128) i32; pad chunks
+    produce garbage that the caller slices off.
     """
     npad1, lanes = fv_chunks.shape
     assert lanes == LANES and (npad1 - 8) % TR == 0

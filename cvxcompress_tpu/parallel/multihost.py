@@ -96,7 +96,6 @@ def compress(local_slab, scale, block=(32, 32, 32), use_local_rms=False,
     padded = np.zeros(cap, np.uint8)
     padded[: segment.size] = segment
     all_segs = mhu.process_allgather(padded)
-    del jax
     if pid != 0:
         return None
     segments = [all_segs[p, : int(lens[p])] for p in range(nproc)]

@@ -28,7 +28,6 @@ import numpy as np
 
 from .. import container as ctn
 from ..ops import codec as _codec
-from ..ops import quant
 
 F32 = np.float32
 

@@ -40,8 +40,6 @@ from . import container as ctn
 from .ops import blocks as blk
 from .ops import quant, rle_device, wavelet
 
-F32 = np.float32
-
 
 @functools.partial(jax.jit, static_argnames=("block", "chunk"))
 def _snap_encode(vol, scale, block, chunk):
