@@ -42,8 +42,7 @@ def _stage_w(vol, glob_mulfac, scale, use_local, block, chunk):
     while the same reshapes inside a consumer jit trigger pathological
     XLA relayouts (PERF_NOTES.md).
     """
-    b = blk.to_blocks(vol, block)
-    coeffs = wavelet.forward_3d(b)
+    coeffs = wavelet.forward_3d_blocked(vol, vol.shape, block)
     n = coeffs.shape[0]
     if use_local:
         # per-block RMS of the COEFFICIENTS (CvxCompress.cpp:343-348)
@@ -72,8 +71,7 @@ def _stage_w_pallas(vol, glob_mulfac, scale, use_local, block, chunk):
     """
     from . import tokenize_pallas as tp
 
-    b = blk.to_blocks(vol, block)
-    coeffs = wavelet.forward_3d(b)
+    coeffs = wavelet.forward_3d_blocked(vol, vol.shape, block)
     n = coeffs.shape[0]
     if use_local:
         mf = quant.mulfac_from_rms(quant.local_rms(coeffs), scale)
@@ -138,8 +136,7 @@ def _gather_rows(mat, idx):
 @functools.partial(jax.jit, static_argnames=("block", "chunk"))
 def _raw_chunks(vol, block, chunk):
     """Unscaled coefficient chunks (raw-fallback payload source, rare)."""
-    b = blk.to_blocks(vol, block)
-    coeffs = wavelet.forward_3d(b)
+    coeffs = wavelet.forward_3d_blocked(vol, vol.shape, block)
     n = coeffs.shape[0]
     return coeffs.reshape(n, -1).reshape(-1, chunk)
 

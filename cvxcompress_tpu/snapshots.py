@@ -51,8 +51,7 @@ def _snap_encode(vol, scale, block, chunk):
     ss = jnp.sum(jnp.square(vol.astype(jnp.float32)))
     rms = jnp.sqrt(ss / vol.size)
     glob_mulfac = quant.mulfac_from_rms(rms, scale)
-    b = blk.to_blocks(vol, block)
-    coeffs = wavelet.forward_3d(b)
+    coeffs = wavelet.forward_3d_blocked(vol, vol.shape, block)
     n = coeffs.shape[0]
     cells = coeffs.size // n
     nchunks = n * (cells // chunk)
