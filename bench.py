@@ -79,26 +79,56 @@ def bench_device_compress(vol, block, scale, rtt, iters=6):
     from cvxcompress_tpu.ops import codec as jcodec
     from cvxcompress_tpu.ops import rle_device
 
+    from cvxcompress_tpu.ops import pack_pallas
+    from cvxcompress_tpu.ops import tokenize_pallas as tp
+
     bx, by, bz = block
     cells = bx * by * bz
     chunk = rle_device.chunk_cells(cells)
     vd = [jax.device_put(vol), jax.device_put(vol * 1.0000001)]
     mf0 = jnp.float32(123.4)
+    nnn = -(-vol.shape[0] // bz) * -(-vol.shape[1] // by) * -(-vol.shape[2] // bx)
+    nchunks = nnn * (cells // chunk)
+    fused = (
+        jcodec._fused_compact_enabled()
+        and jcodec.use_pallas() and chunk == tp.LANES and nchunks >= 2 * tp.TR
+    )
 
-    def run(v):
-        chunks, desc, cb, sizes, raw, counts, mf = jcodec._encode_device(
-            v, mf0, jnp.float32(scale), False, block, chunk
-        )
-        return chunks, desc, cb, mf, counts
+    if fused:
+        def stage1(v):
+            fvp, mf = jcodec._stage_w_pallas(
+                v, mf0, jnp.float32(scale), False, block, chunk
+            )
+            return tp.tokenize_compact_fast(fvp, nnn, cells // chunk, chunk)
 
-    out = run(vd[0])
-    acount, lcount = (int(x) for x in np.asarray(out[4]))
-    acap, lcap = rle_device.bucket(acount), rle_device.bucket(lcount)
+        cb, sizes, raw, counts, fvc, dscc, meta = stage1(vd[0])
+        acount, lcount = (int(x) for x in np.asarray(counts))
+        acap = max(pack_pallas.GR, rle_device.bucket(acount))
+        lcap = rle_device.bucket(lcount)
 
-    def full(v):
-        chunks, desc, cb, mf, counts = run(v)
-        sub, aidx, ab = rle_device.pack_active(chunks, desc, cb, acap, lcap)
-        return sub
+        def full(v):
+            cb, sizes, raw, counts, fvc, dscc, meta = stage1(v)
+            sub, aidx, ab = rle_device.pack_compacted(
+                fvc, dscc, meta, counts[0], acap, lcap
+            )
+            return sub
+    else:
+        def run(v):
+            chunks, desc, cb, sizes, raw, counts, mf = jcodec._encode_device(
+                v, mf0, jnp.float32(scale), False, block, chunk
+            )
+            return chunks, desc, cb, mf, counts
+
+        out = run(vd[0])
+        acount, lcount = (int(x) for x in np.asarray(out[4]))
+        acap, lcap = rle_device.bucket(acount), rle_device.bucket(lcount)
+
+        def full(v):
+            chunks, desc, cb, mf, counts = run(v)
+            sub, aidx, ab = rle_device.pack_active(
+                chunks, desc, cb, acap, lcap
+            )
+            return sub
 
     fetch1(full(vd[0]))  # compile
     best = float("inf")

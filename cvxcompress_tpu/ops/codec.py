@@ -91,6 +91,12 @@ def _stage_w_pallas(vol, glob_mulfac, scale, use_local, block, chunk):
     return fvp, mf
 
 
+def _fused_compact_enabled():
+    import os
+
+    return os.environ.get("CVX_FUSED_COMPACT") == "1"
+
+
 def use_pallas():
     """Pallas kernels run on real TPU backends only (XLA path elsewhere)."""
     import jax as _jax
@@ -163,16 +169,46 @@ def compress(vol, scale, block=(32, 32, 32), use_local_rms=False,
     else:
         glob_mulfac = F32(glob_mulfac)
 
-    coeff_chunks, desc, chunk_bytes, sizes, raw, counts, mf = _encode_device(
-        jnp.asarray(vol), jnp.float32(glob_mulfac), jnp.float32(scale),
-        use_local_rms, (bx, by, bz), chunk,
+    from . import pack_pallas, tokenize_pallas as tp
+
+    nnn_blocks = ctn.block_grid(nx, ny, nz, bx, by, bz)[3]
+    nchunks = nnn_blocks * (cells // chunk)
+    # experimental fused tokenize+compact kernel: measured a net LOSS on
+    # v5e (extra full-width outputs + per-tile DMA waits outweigh the
+    # removed gathers, PERF_NOTES.md) — opt-in only
+    fused = (
+        _fused_compact_enabled()
+        and use_pallas() and chunk == tp.LANES and nchunks >= 2 * tp.TR
     )
-    acount, lcount = (int(v) for v in np.asarray(counts))  # 8-byte readback
-    acap = rle_device.bucket(acount)
-    lcap = rle_device.bucket(lcount)
-    subrows, aidx, abytes = rle_device.pack_active(
-        coeff_chunks, desc, chunk_bytes, acap, lcap
-    )
+    if fused:
+        # fused path: tokenize + active-chunk compaction in one kernel
+        fvp, mf = _stage_w_pallas(
+            jnp.asarray(vol), jnp.float32(glob_mulfac), jnp.float32(scale),
+            use_local_rms, (bx, by, bz), chunk,
+        )
+        n = mf.shape[0]
+        cb, sizes, raw, counts, fvc, dscc, meta = tp.tokenize_compact_fast(
+            fvp, n, cells // chunk, chunk
+        )
+        acount, lcount = (int(v) for v in np.asarray(counts))
+        acap = max(pack_pallas.GR, rle_device.bucket(acount))
+        lcap = rle_device.bucket(lcount)
+        subrows, aidx, abytes = rle_device.pack_compacted(
+            fvc, dscc, meta, counts[0], acap, lcap
+        )
+    else:
+        coeff_chunks, desc, chunk_bytes, sizes, raw, counts, mf = (
+            _encode_device(
+                jnp.asarray(vol), jnp.float32(glob_mulfac),
+                jnp.float32(scale), use_local_rms, (bx, by, bz), chunk,
+            )
+        )
+        acount, lcount = (int(v) for v in np.asarray(counts))
+        acap = rle_device.bucket(acount)
+        lcap = rle_device.bucket(lcount)
+        subrows, aidx, abytes = rle_device.pack_active(
+            coeff_chunks, desc, chunk_bytes, acap, lcap
+        )
     subrows_h = np.asarray(subrows)
     sizes_h = np.asarray(sizes)
     raw_h = np.asarray(raw)
@@ -191,7 +227,12 @@ def compress(vol, scale, block=(32, 32, 32), use_local_rms=False,
             .view(np.uint8)
         )
 
-    stream, _total = rle_device.assemble_payload_sparse(
+    assemble = (
+        rle_device.assemble_payload_filtered
+        if fused
+        else rle_device.assemble_payload_sparse
+    )
+    stream, _total = assemble(
         np.asarray(subrows_h), np.asarray(aidx), np.asarray(abytes), acount,
         sizes_h, raw_h, raw_bytes_h, cells, chunk,
     )

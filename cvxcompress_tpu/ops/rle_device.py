@@ -417,6 +417,65 @@ def _subrow_squeeze(packed, abytes, acap, lcap, chunk, aidx):
     return subrows, aidx, abytes
 
 
+@functools.partial(
+    jax.jit, static_argnames=("acap", "lcap", "use_pallas_kernel")
+)
+def pack_compacted(fvc, dscc, meta, emitted, acap, lcap,
+                   use_pallas_kernel=None):
+    """PASS 2 on PRE-COMPACTED active rows (fused tokenize+compact path).
+
+    fvc/dscc/meta from tokenize_compact_tiles; `emitted` the device scalar
+    count of written rows (entries beyond it are uninitialized memory and
+    are neutralized here).  Returns (subrows, aidx, abytes) like
+    pack_active.
+    """
+    from . import pack_pallas
+
+    def fit2d(a, rows):
+        if rows <= a.shape[0]:
+            return a[:rows]
+        pad = jnp.zeros((rows - a.shape[0],) + a.shape[1:], a.dtype)
+        return jnp.concatenate([a, pad], axis=0)
+
+    fvr = fit2d(fvc, acap)
+    dsr = fit2d(dscc, acap)
+    metar = fit2d(meta, acap)
+    chunk = fvr.shape[1]
+    idxs = jnp.arange(acap, dtype=I32)
+    aidx = jnp.where(idxs < emitted, metar[:, 0], 0)
+    abytes = jnp.where(idxs < emitted, metar[:, 1], 0)
+
+    if use_pallas_kernel is None:
+        use_pallas_kernel = pack_pallas.available()
+    if (
+        use_pallas_kernel
+        and chunk == pack_pallas.Q
+        and acap % pack_pallas.GR == 0
+    ):
+        packed = pack_pallas.pack_staging(fvr, dsr).astype(U8)
+    else:
+        fv, iv = quant.quantize(fvr, jnp.float32(1.0))
+        izero, is_byte, is_short, is_i3 = _classify(iv)
+        mode = _group_modes(izero, is_byte, is_short, is_i3, (acap, chunk))
+        p0, p1, p2, p3_, p4, cost = _planes(
+            fvr, iv, fv, dsr, mode, izero, is_byte, is_short, is_i3
+        )
+        staging = jnp.stack(
+            [p.astype(U8) for p in (p0, p1, p2, p3_, p4)], axis=-1
+        ).reshape(acap, 5 * chunk)
+        off = jnp.cumsum(cost, axis=1) - cost
+        base = 5 * jnp.arange(chunk, dtype=I32)[None, :] - off
+        kio = jnp.arange(5, dtype=I32)[None, None, :]
+        livb = kio < cost[:, :, None]
+        ddt = jnp.int16 if 5 * chunk <= 32767 else I32
+        dist = jnp.where(
+            livb, jnp.broadcast_to(base[:, :, None], (acap, chunk, 5)), -1
+        ).astype(ddt).reshape(acap, 5 * chunk)
+        packed, _ = pack.compact_rows(staging, dist, pack.ceil_log2(5 * chunk))
+
+    return _subrow_squeeze(packed, abytes, acap, lcap, chunk, aidx)
+
+
 def bucket(n, lo=8):
     """Round up to a power-of-two capacity to bound jit recompiles."""
     n = max(int(n), lo)
@@ -429,6 +488,55 @@ def plan_capacities(chunk_bytes_h):
     acount = int(np.count_nonzero(active))
     lcount = int(((chunk_bytes_h[active] + SUBROW - 1) // SUBROW).sum())
     return bucket(acount), bucket(lcount)
+
+
+def assemble_payload_filtered(subrows_h, aidx_h, abytes_h, acount, sizes_h,
+                              raw_h, raw_bytes_h, cells, chunk):
+    """Sparse assembly for the fused path: drops dead pad entries and the
+    chunks of raw-fallback blocks (which were packed before the block
+    totals revealed them as raw).  Subrow SOURCE offsets are accounted
+    over ALL emitted entries — the squeeze packed every one of them."""
+    sizes = np.asarray(sizes_h, dtype=np.int64)
+    raw = np.asarray(raw_h, dtype=bool)
+    aidx = np.asarray(aidx_h[:acount], dtype=np.int64)
+    ab = np.asarray(abytes_h[:acount], dtype=np.int64)
+    ncpb = cells // chunk
+
+    nsub_all = (ab + SUBROW - 1) // SUBROW
+    src_all = (np.cumsum(nsub_all) - nsub_all) * SUBROW
+
+    # drop dead pad rows, tile-padding fake actives (chunk ids beyond the
+    # real grid), and chunks of raw-fallback blocks
+    nnn = sizes.size
+    blk_all = np.minimum(aidx // ncpb, nnn - 1)
+    keep = (ab > 0) & (aidx < nnn * ncpb) & ~raw[blk_all]
+    aidx, ab, src = aidx[keep], ab[keep], src_all[keep]
+    kcount = int(keep.sum())
+
+    total = int(sizes.sum())
+    stream = np.empty(total, dtype=np.uint8)
+    block_base = np.cumsum(sizes) - sizes
+
+    if kcount:
+        blk = aidx // ncpb
+        excl = np.cumsum(ab) - ab
+        first = np.empty(kcount, dtype=bool)
+        first[0] = True
+        np.not_equal(blk[1:], blk[:-1], out=first[1:])
+        start_excl = np.maximum.accumulate(np.where(first, excl, 0))
+        dst = block_base[blk] + (excl - start_excl)
+
+        flat = np.ascontiguousarray(subrows_h, dtype=np.uint8).reshape(-1)
+        tot_rle = int(ab.sum())
+        sidx = np.repeat(src - excl, ab) + np.arange(tot_rle)
+        didx = np.repeat(dst - excl, ab) + np.arange(tot_rle)
+        stream[didx] = flat[sidx]
+
+    if raw.any():
+        rb = np.ascontiguousarray(raw_bytes_h, dtype=np.uint8)
+        for i, b in enumerate(np.nonzero(raw)[0]):
+            stream[block_base[b] : block_base[b] + 4 * cells] = rb[i]
+    return stream, total
 
 
 def assemble_payload_sparse(subrows_h, aidx_h, abytes_h, acount, sizes_h,

@@ -70,15 +70,8 @@ def _shl_lanes(x, s, lane, fill):
     return jnp.where(lane >= s, pltpu.roll(x, s, 1), fill)
 
 
-def _kernel(fv_ref, nxt_ref, desc_ref, carry_ref, *, ncpb):
-    """One (TR, 128) tile: per-cell int32 descriptors."""
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _init():
-        carry_ref[0] = -1
-
-    fv = fv_ref[:]  # (TR, 128) f32, already mulfac-scaled
+def _tile_desc(fv, nxt_vals, carry_in, i, ncpb):
+    """Shared tile computation: (desc, cost, carry_out) for one tile."""
 
     # --- quantize with AVX cvttps semantics (Run_Length_Encode_Slow.cpp:203)
     in_range = (fv >= jnp.float32(-2147483648.0)) & (
@@ -134,9 +127,8 @@ def _kernel(fv_ref, nxt_ref, desc_ref, carry_ref, *, ncpb):
     rows1 = jax.lax.broadcasted_iota(I32, (TR, 1), 0)
     rowcarry = _cumscan_max(rowmax, 0, rows1, I32(-1))  # narrow row scan
     prev_rows = jnp.where(rows1 == 0, I32(-1), pltpu.roll(rowcarry, 1, 0))
-    carry_in = carry_ref[0]
     lastnm_glob = jnp.maximum(lnm, jnp.maximum(prev_rows, carry_in))
-    carry_ref[0] = jnp.maximum(carry_in, jnp.max(lnm))
+    carry_out = jnp.maximum(carry_in, jnp.max(lnm))
 
     cells_per_block = ncpb * LANES
     block_base = (gidx // cells_per_block) * cells_per_block
@@ -154,7 +146,6 @@ def _kernel(fv_ref, nxt_ref, desc_ref, carry_ref, *, ncpb):
     c = pltpu.roll(b, 127, 1)     # [r, 127] <- member[r+1, 0]
     # scalar fv of the next tile's first cell, extracted from the (8, 128)
     # lookahead window by a masked sum (NaN propagates -> not a member)
-    nxt_vals = nxt_ref[0:8, :]
     r8 = jax.lax.broadcasted_iota(I32, (8, LANES), 0)
     l8 = jax.lax.broadcasted_iota(I32, (8, LANES), 1)
     nxt0 = jnp.sum(jnp.where((r8 == 0) & (l8 == 0), nxt_vals, 0.0))
@@ -189,11 +180,110 @@ def _kernel(fv_ref, nxt_ref, desc_ref, carry_ref, *, ncpb):
         ),
     ).astype(I32)
 
-    desc_ref[:] = (
+    desc = (
         cost
         | (run_end.astype(I32) << 3)
         | (jnp.minimum(run_len, MAX_RUN24) << 4)
     )
+    return desc, cost, carry_out
+
+
+def _kernel(fv_ref, nxt_ref, desc_ref, carry_ref, *, ncpb):
+    """One (TR, 128) tile: per-cell int32 descriptors (dense output)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        carry_ref[0] = -1
+
+    desc, _cost, carry_out = _tile_desc(
+        fv_ref[:], nxt_ref[0:8, :], carry_ref[0], i, ncpb
+    )
+    carry_ref[0] = carry_out
+    desc_ref[:] = desc
+
+
+def _cumscan_add(x, idx, fill):
+    """Inclusive sum-scan along axis 0 via roll+mask steps ((TR,1) cols)."""
+    length = x.shape[0]
+    s = 1
+    while s < length:
+        x = x + jnp.where(idx >= s, pltpu.roll(x, s, 0), fill)
+        s *= 2
+    return x
+
+
+def _kernel_compact(fv_ref, nxt_ref, cb_ref, fvc_ref, dscc_ref, metac_ref,
+                    carry_ref, fvs, dss, mts, sem, *, ncpb):
+    """Tokenize + within-tile row compaction + append-DMA of active chunks.
+
+    Emits, per tile: dense per-chunk byte counts (cb_ref) and the tile's
+    ACTIVE chunk rows (scaled coeffs, descriptors, [chunk-id, bytes] meta)
+    appended at a running row offset in the ANY-space outputs.  Each
+    tile's contribution is padded to a multiple of 8 rows (DMA slices
+    must stay sublane-tile aligned); pad rows carry meta bytes = 0 and
+    are skipped downstream.  The next tile overwrites this tile's padding
+    garbage beyond its padded length — the grid is sequential, so the
+    overlapping writes are ordered.
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        carry_ref[0] = -1  # zero-run carry (last nonzero global index)
+        carry_ref[1] = 0  # output row cursor
+
+    desc, cost, carry_out = _tile_desc(
+        fv_ref[:], nxt_ref[0:8, :], carry_ref[0], i, ncpb
+    )
+    carry_ref[0] = carry_out
+
+    cb = cost.sum(axis=1, keepdims=True)  # (TR, 1)
+    cb_ref[:] = cb
+
+    rows1 = jax.lax.broadcasted_iota(I32, (TR, 1), 0)
+    live = (cb > 0).astype(I32)
+    incl = _cumscan_add(live, rows1, I32(0))
+    k = jnp.max(incl)  # live rows in this tile
+    dist = jnp.where(live > 0, rows1 - (incl - 1), I32(-1))
+
+    fvt = fv_ref[:]
+    lane128 = jax.lax.broadcasted_iota(I32, (TR, LANES), 1)
+    meta = jnp.where(
+        lane128 == 0, i * TR + rows1, jnp.where(lane128 == 1, cb, 0)
+    )
+    dsct = desc
+    s = 1
+    while s < TR:
+        # front-pack: row p receives from row p+s (roll by TR-s, masked)
+        inc_d = jnp.where(
+            rows1 < TR - s, pltpu.roll(dist, TR - s, 0), I32(-1)
+        )
+        take = (inc_d >= 0) & ((inc_d & s) != 0)
+        moveout = (dist >= 0) & ((dist & s) != 0)
+        fvt = jnp.where(take, pltpu.roll(fvt, TR - s, 0), fvt)
+        dsct = jnp.where(take, pltpu.roll(dsct, TR - s, 0), dsct)
+        meta = jnp.where(take, pltpu.roll(meta, TR - s, 0), meta)
+        dist = jnp.where(take, inc_d - s, jnp.where(moveout, I32(-1), dist))
+        s *= 2
+
+    # rows beyond the live count are stale copies: mark dead (bytes = 0)
+    meta = jnp.where((rows1 < k) | (lane128 == 0), meta, 0)
+
+    fvs[:] = fvt
+    dss[:] = dsct
+    mts[:] = meta
+    cursor = carry_ref[1]
+    d1 = pltpu.make_async_copy(fvs, fvc_ref.at[pl.ds(cursor, TR), :], sem)
+    d1.start()
+    d1.wait()
+    d2 = pltpu.make_async_copy(dss, dscc_ref.at[pl.ds(cursor, TR), :], sem)
+    d2.start()
+    d2.wait()
+    d3 = pltpu.make_async_copy(mts, metac_ref.at[pl.ds(cursor, TR), :], sem)
+    d3.start()
+    d3.wait()
+    carry_ref[1] = cursor + ((k + 7) // 8) * 8
 
 
 @functools.partial(jax.jit, static_argnames=("ncpb", "interpret"))
@@ -265,3 +355,88 @@ def tokenize_desc_fast(fv_chunks_padded, n, ncpb, chunk, interpret=False):
     ).sum(dtype=I32)
     counts = jnp.stack([acount, lcount])
     return desc, chunk_bytes, sizes, raw, counts
+
+
+@functools.partial(jax.jit, static_argnames=("ncpb", "interpret"))
+def tokenize_compact_tiles(fv_chunks, ncpb, interpret=False):
+    """Fused tokenize + active-chunk compaction over (nchunks_pad, 128).
+
+    Returns (cb (nchunks_pad-8,) i32 dense byte counts,
+             fvc / dscc ((nchunks_pad-8)+TR, 128) compacted active rows,
+             meta (..., 128) i32 — lane 0 = global chunk id, lane 1 = bytes).
+    Active rows appear front-packed in chunk order with <=7 dead pad rows
+    (meta bytes 0) after each tile's contribution.
+    """
+    npad1, lanes = fv_chunks.shape
+    assert lanes == LANES and (npad1 - 8) % TR == 0
+    ntiles = (npad1 - 8) // TR
+    nout = (npad1 - 8) + TR
+
+    cb, fvc, dscc, meta = pl.pallas_call(
+        functools.partial(_kernel_compact, ncpb=ncpb),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((TR, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANES), lambda i: ((i + 1) * TR // 8, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TR, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((npad1 - 8, 1), jnp.int32),
+            jax.ShapeDtypeStruct((nout, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((nout, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nout, LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.VMEM((TR, LANES), jnp.float32),
+            pltpu.VMEM((TR, LANES), jnp.int32),
+            pltpu.VMEM((TR, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(fv_chunks, fv_chunks)
+    return cb.reshape(npad1 - 8), fvc, dscc, meta
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n", "ncpb", "chunk", "interpret")
+)
+def tokenize_compact_fast(fv_chunks_padded, n, ncpb, chunk, interpret=False):
+    """Fused path: (cb, sizes, raw, counts, fvc, dscc, meta).
+
+    counts = [emitted_rows (incl <=7 pad rows per tile), lcount].
+    Raw-fallback blocks' chunks ARE emitted (raw is only known after the
+    block totals); downstream assembly filters them by block.
+    """
+    from . import rle_device
+
+    assert chunk == LANES
+    nchunks = n * ncpb
+    cb, fvc, dscc, meta = tokenize_compact_tiles(
+        fv_chunks_padded, ncpb, interpret=interpret
+    )
+    cbr = cb[:nchunks]
+    sizes0 = cbr.reshape(n, ncpb).sum(-1)
+    cells = ncpb * chunk
+    raw = sizes0 > 4 * cells
+    sizes = jnp.where(raw, I32(4 * cells), sizes0)
+    # emitted rows: per-tile live counts padded to sublane multiples
+    live = (cb > 0).astype(I32)  # includes trailing pad chunks (all-zero)
+    per_tile = live.reshape(-1, TR).sum(-1)
+    emitted = (((per_tile + 7) // 8) * 8).sum(dtype=I32)
+    # subrow budget for the squeeze (raw-block chunks included: they are
+    # packed then dropped at assembly)
+    lcount = ((cb + (rle_device.SUBROW - 1)) // rle_device.SUBROW).sum(
+        dtype=I32
+    )
+    counts = jnp.stack([emitted, lcount])
+    return cbr, sizes, raw, counts, fvc, dscc, meta

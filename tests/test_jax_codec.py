@@ -145,3 +145,85 @@ def test_extreme_block_shapes(vol_shape, block):
     out2 = ocodec.decompress(data)
     err2, _ = rel_error_and_snr(vol, out2)
     assert err2 < 2e-3
+
+
+def test_fused_tokenize_compact_interpret(rng):
+    """Fused tokenize+compact kernel vs dense kernel path (interpret mode).
+
+    Exercises the tile-boundary run carry, within-tile row compaction,
+    append-cursor DMAs, and the pad-tile fake-active filtering."""
+    import jax.numpy as jnp
+
+    from cvxcompress_tpu.ops import rle_device, tokenize_pallas as tp
+
+    n, cells, chunk = 3, tp.TR * 128, 128  # 3 blocks => 3 tiles exactly
+    ncpb = cells // chunk
+    nchunks = n * ncpb
+    c = (rng.standard_normal((n, cells)) * 60).astype(np.float32)
+    c[rng.random((n, cells)) < 0.9] = 0.0
+    padded = np.zeros((tp.pad_rows(nchunks), chunk), np.float32)
+    padded[:nchunks] = c.reshape(nchunks, chunk)
+    fvp = jnp.asarray(padded)
+
+    d_desc, d_cb, d_sizes, d_raw, _ = tp.tokenize_desc_fast(
+        fvp, n, ncpb, chunk, interpret=True
+    )
+    f_cb, f_sizes, f_raw, f_counts, fvc, dscc, meta = tp.tokenize_compact_fast(
+        fvp, n, ncpb, chunk, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(d_cb), np.asarray(f_cb))
+    np.testing.assert_array_equal(np.asarray(d_sizes), np.asarray(f_sizes))
+
+    emitted = int(np.asarray(f_counts)[0])
+    meta_h = np.asarray(meta)[:emitted, :2]
+    live = meta_h[:, 1] > 0
+    got_ids = meta_h[live, 0]
+    want_ids = np.nonzero(np.asarray(d_cb) > 0)[0]
+    np.testing.assert_array_equal(got_ids, want_ids)
+    fvc_h, dscc_h = np.asarray(fvc), np.asarray(dscc)
+    rows = np.nonzero(live)[0]
+    np.testing.assert_array_equal(
+        fvc_h[rows], padded[got_ids]
+    )
+    np.testing.assert_array_equal(
+        dscc_h[rows], np.asarray(d_desc)[got_ids]
+    )
+
+
+def test_fused_path_assembly_matches_oracle(rng):
+    """Full fused flow (XLA pack fallback) vs oracle payloads on CPU."""
+    import jax.numpy as jnp
+
+    from cvxcompress_tpu.ops import rle_device, tokenize_pallas as tp
+
+    n, chunk = 2, 128
+    cells = tp.TR * 128  # 1 tile per block
+    ncpb = cells // chunk
+    nchunks = n * ncpb
+    c = (rng.standard_normal((n, cells)) * 60).astype(np.float32)
+    c[rng.random((n, cells)) < 0.95] = 0.0
+    padded = np.zeros((tp.pad_rows(nchunks), chunk), np.float32)
+    padded[:nchunks] = c.reshape(nchunks, chunk)
+    fvp = jnp.asarray(padded)
+
+    cb, sizes, raw, counts, fvc, dscc, meta = tp.tokenize_compact_fast(
+        fvp, n, ncpb, chunk, interpret=True
+    )
+    emitted, lcount = (int(v) for v in np.asarray(counts))
+    acap = rle_device.bucket(emitted)
+    lcap = rle_device.bucket(lcount)
+    subrows, aidx, ab = rle_device.pack_compacted(
+        fvc, dscc, meta[:, :2], counts[0], acap, lcap,
+        use_pallas_kernel=False,
+    )
+    stream, total = rle_device.assemble_payload_filtered(
+        np.asarray(subrows), np.asarray(aidx), np.asarray(ab), emitted,
+        np.asarray(sizes), np.asarray(raw), None, cells, chunk,
+    )
+    sizes_h = np.asarray(sizes)
+    pos = 0
+    for i in range(n):
+        expect = orle.encode(np.float32(1.0), c[i])
+        got = stream[pos : pos + sizes_h[i]].tobytes()
+        assert got == expect, f"block {i} differs"
+        pos += sizes_h[i]
