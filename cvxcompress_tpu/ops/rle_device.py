@@ -346,15 +346,23 @@ def pack_active(fv_chunks, desc, chunk_bytes, acap, lcap,
     nchunks, chunk = fv_chunks.shape
     spq = 5 * chunk // SUBROW  # subrows per chunk staging row
 
-    # -- active-chunk scalar compaction
+    # -- active-chunk scalar compaction (index + bytes stacked into one
+    # 2-row array: halves the kernel launches of the log-shift rounds)
     live = chunk_bytes > 0
     cidx = jnp.arange(nchunks, dtype=I32)
-    (aidx, abytes), count = pack.compact_live(
-        (cidx, chunk_bytes), live, pack.ceil_log2(nchunks)
+    stacked = jnp.stack([cidx, chunk_bytes])
+    packed2, count2 = pack.compact_live(
+        (stacked,), jnp.broadcast_to(live, (2, nchunks)),
+        pack.ceil_log2(nchunks),
     )
-    aidx = _fit(jnp.where(jnp.arange(nchunks, dtype=I32) < count, aidx, 0), acap)
+    count = count2[0]
+    aidx = _fit(
+        jnp.where(jnp.arange(nchunks, dtype=I32) < count, packed2[0][0], 0),
+        acap,
+    )
     abytes = _fit(
-        jnp.where(jnp.arange(nchunks, dtype=I32) < count, abytes, 0), acap
+        jnp.where(jnp.arange(nchunks, dtype=I32) < count, packed2[0][1], 0),
+        acap,
     )
 
     # -- row-gather active chunks (row-granular: fast on TPU)
