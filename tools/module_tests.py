@@ -195,10 +195,26 @@ def stage_9_10_codec(quick):
     check("[10] decompress throughput (actually measured)", ok)
 
 
+def stage_11_giant_run():
+    """[11] all-zero 256^3 block: the 2^24-cell zero run splits into
+    [RLESC3 0xFFFFFF][00] (5 payload bytes) — the documented fix of the
+    reference's 24-bit run truncation (only reachable at this size)."""
+    import cvxcompress_tpu as cvx
+    from cvxcompress_tpu.utils import io as cio
+
+    z = np.zeros((256, 256, 256), np.float32)
+    data, _ = cvx.compress(z, 1e-2, block=(256, 256, 256))
+    payload = cio.probe(data)["payload_bytes"]
+    out = cvx.decompress(data)
+    check("[11] 2^24 zero-run split (256^3 block)",
+          payload == 5 and np.array_equal(out, z),
+          f"payload {payload} B")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--exhaustive", action="store_true",
-                    help="full 8..256 block sweep")
+                    help="full 8..256 block sweep + giant-run case")
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
 
@@ -208,6 +224,8 @@ def main():
     stage_7_layout_throughput(args.quick)
     stage_8_rms()
     stage_9_10_codec(args.quick)
+    if args.exhaustive:
+        stage_11_giant_run()
 
     if _failures:
         print(f"{RED}{len(_failures)} stage(s) failed: {_failures}{END}")
