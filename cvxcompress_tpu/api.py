@@ -107,6 +107,21 @@ class CvxCompress:
         del num_threads
         return decompress(compressed, backend=self.backend)
 
+    def Decompress_Inplace(self, vol, compressed, num_threads=None):
+        """In-place decompress into a caller-provided (nz, ny, nx) array.
+
+        Mirrors cvx_decompress_inplace (CvxCompress.hxx:160-167); the
+        caller's array shape must match the container header.
+        """
+        del num_threads
+        out = decompress(compressed, backend=self.backend)
+        if vol.shape != out.shape:
+            raise ValueError(
+                f"volume shape {vol.shape} != container {out.shape}"
+            )
+        np.copyto(vol, out)
+        return vol
+
     @staticmethod
     def Run_Module_Tests(verbose=False, exhaustive=False):
         """Run the test suite (reference: CvxCompress.hxx:133). Uses pytest."""

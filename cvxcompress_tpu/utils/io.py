@@ -17,17 +17,31 @@ def save(path, data):
     np.asarray(data, dtype=np.uint8).tofile(path)
 
 
+def validate(data):
+    """Structural validation of a container; returns the parsed Header.
+
+    Raises ValueError for corrupt headers, truncated offset tables, or
+    payload areas too short for the recorded block offsets.
+    """
+    data = np.asarray(data, dtype=np.uint8)
+    hdr, blkoffs, _, payload_base = ctn.unpack(data)
+    avail = int(data.size) - payload_base - ctn.SLACK_BYTES
+    plain = np.asarray(blkoffs) & ~ctn.RAW_FLAG
+    if avail < 0 or (plain.size and int(plain.max()) >= max(avail, 1)):
+        raise ValueError(
+            f"truncated container: {data.size} bytes, offsets reach "
+            f"{int(plain.max()) if plain.size else 0} of {avail}"
+        )
+    return hdr
+
+
 def load(path):
     """Read and validate a compressed container; returns the uint8 array.
 
     Raises ValueError on a corrupt or truncated container.
     """
     data = np.fromfile(path, dtype=np.uint8)
-    hdr, blkoffs, _, payload_base = ctn.unpack(data)  # validates
-    nnn = hdr.grid[3]
-    if data.size < payload_base:
-        raise ValueError(f"{path}: truncated container ({data.size} bytes)")
-    del blkoffs, nnn
+    validate(data)
     return data
 
 
