@@ -157,3 +157,39 @@ def test_reference_2d_interop(ref_lib):
     out = cvx.decompress(data, backend="jax")
     err, _ = rel_error_and_snr(vol, out)
     assert err < 1e-2
+
+
+def test_reference_local_rms_interop(ref_lib):
+    """use_local_RMS containers interop via the reference's _th C ABI."""
+    lib = ref_lib
+    import ctypes
+
+    f32p = ctypes.POINTER(ctypes.c_float)
+    u32p = ctypes.POINTER(ctypes.c_uint)
+    lib.cvx_compress_th.restype = ctypes.c_float
+    lib.cvx_compress_th.argtypes = [
+        ctypes.c_float, f32p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_bool, u32p, ctypes.c_int, ctypes.POINTER(ctypes.c_long),
+    ]
+    vol = make_radial_volume(nz=32, ny=32, nx=64)
+    out = np.zeros(vol.nbytes * 2 + (1 << 16), np.uint8)
+    length = ctypes.c_long(0)
+    lib.cvx_compress_th(
+        ctypes.c_float(1e-2), vol.ctypes.data_as(f32p),
+        64, 32, 32, 32, 32, 32, True,
+        out.ctypes.data_as(u32p), 1, ctypes.byref(length),
+    )
+    ref_data = out[: length.value]
+    # our backends decode the reference's local-RMS container
+    for backend in ("jax", "oracle"):
+        o = cvx.decompress(ref_data, backend=backend)
+        err, _ = rel_error_and_snr(vol, o)
+        assert err < 1e-2, (backend, err)
+    # and the reference decodes ours
+    ours, _ = cvx.compress(vol, 1e-2, block=(32, 32, 32),
+                           use_local_rms=True, backend="jax")
+    o2 = ref_decompress(ref_lib, ours)
+    err, _ = rel_error_and_snr(vol, o2)
+    assert err < 1e-2, err
