@@ -328,7 +328,15 @@ def sparse_chunks(coeffs, cells, chunk):
 
 
 def decompress(data):
-    """Decompress a container: host entropy decode + device inverse wavelet."""
+    """Decompress a container: host entropy decode + device inverse wavelet.
+
+    The container is structurally validated first — the native decoder
+    trusts the offset table, so corrupt/truncated input must be rejected
+    before it reaches C++ (utils.io.validate checks offset reach).
+    """
+    from ..utils import io as _io
+
+    _io.validate(data)
     hdr, blkoffs, blkmulfac, payload_base = ctn.unpack(data)
     block = (hdr.bx, hdr.by, hdr.bz)
     cells = hdr.bx * hdr.by * hdr.bz

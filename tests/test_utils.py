@@ -94,3 +94,15 @@ def test_decompress_inplace_api():
     assert np.abs(out - vol).max() < 1e-1  # quantization-level at scale 1e-2
     with pytest.raises(ValueError):
         cc.Decompress_Inplace(np.empty((8, 8, 8), np.float32), data)
+
+
+def test_decompress_rejects_corrupt_offsets():
+    """A container whose offset table points past the payload is rejected
+    before reaching the native decoder."""
+    vol = volumes.radial_volume(16, 16, 16)
+    data, _ = cvx.compress(vol, 1e-2, block=(8, 8, 8))
+    bad = data.copy()
+    # blkoffs live at [32, 32+8*nnn); poison the second entry
+    bad[40:48] = np.array([2**40], dtype=np.int64).view(np.uint8)
+    with pytest.raises(ValueError):
+        cvx.decompress(bad, backend="jax")
