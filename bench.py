@@ -123,10 +123,12 @@ def bench_device_compress(vol, block, scale, rtt, iters=6):
         acount, lcount = (int(x) for x in np.asarray(out[4]))
         acap, lcap = rle_device.bucket(acount), rle_device.bucket(lcount)
 
+        skip = acount == lcount
+
         def full(v):
             chunks, desc, cb, mf, counts = run(v)
             sub, aidx, ab = rle_device.pack_active(
-                chunks, desc, cb, acap, lcap
+                chunks, desc, cb, acap, lcap, skip_squeeze=skip
             )
             return sub
 

@@ -207,7 +207,8 @@ def compress(vol, scale, block=(32, 32, 32), use_local_rms=False,
         acap = rle_device.bucket(acount)
         lcap = rle_device.bucket(lcount)
         subrows, aidx, abytes = rle_device.pack_active(
-            coeff_chunks, desc, chunk_bytes, acap, lcap
+            coeff_chunks, desc, chunk_bytes, acap, lcap,
+            skip_squeeze=(acount == lcount),
         )
     subrows_h = np.asarray(subrows)
     sizes_h = np.asarray(sizes)

@@ -330,10 +330,11 @@ def _fit(a, cap, fill=0):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("acap", "lcap", "use_pallas_kernel")
+    jax.jit,
+    static_argnames=("acap", "lcap", "use_pallas_kernel", "skip_squeeze"),
 )
 def pack_active(fv_chunks, desc, chunk_bytes, acap, lcap,
-                use_pallas_kernel=None):
+                use_pallas_kernel=None, skip_squeeze=False):
     """PASS 2: row-gather active chunks, pack their payload bytes.
 
     fv_chunks (nchunks, chunk) f32: PRE-SCALED coefficients in chunk
@@ -380,6 +381,8 @@ def pack_active(fv_chunks, desc, chunk_bytes, acap, lcap,
         and acap % pack_pallas.GR == 0
     ):
         packed = pack_pallas.pack_staging(fvg, dsc).astype(U8)
+        if skip_squeeze:
+            return packed[:, :SUBROW], aidx, abytes
         return _subrow_squeeze(packed, abytes, acap, lcap, chunk, aidx)
 
     fv, iv = quant.quantize(fvg, jnp.float32(1.0))
@@ -402,6 +405,10 @@ def pack_active(fv_chunks, desc, chunk_bytes, acap, lcap,
         livb, jnp.broadcast_to(base[:, :, None], (acap, chunk, 5)), -1
     ).astype(ddt).reshape(acap, 5 * chunk)
     packed, _ = pack.compact_rows(staging, dist, pack.ceil_log2(5 * chunk))
+    if skip_squeeze:
+        # every live entry has exactly one subrow (acount == lcount): the
+        # squeeze is the identity on the first SUBROW columns
+        return packed[:, :SUBROW], aidx, abytes
     return _subrow_squeeze(packed, abytes, acap, lcap, chunk, aidx)
 
 
