@@ -227,3 +227,26 @@ def test_fused_path_assembly_matches_oracle(rng):
         got = stream[pos : pos + sizes_h[i]].tobytes()
         assert got == expect, f"block {i} differs"
         pos += sizes_h[i]
+
+
+def test_all_raw_volume_roundtrip(rng):
+    """A volume where every block takes the raw fallback reconstructs the
+    coefficients bit-exactly (raw payload bytes are the untouched f32s)."""
+    vol = (rng.standard_normal((16, 16, 16)) * 1e10).astype(F32)
+    data, ratio = jcodec.compress(vol, 1e-8, block=(8, 8, 8))
+    hdr, blkoffs, _, _ = ctn.unpack(data)
+    assert (blkoffs < 0).all(), "expected every block raw"
+    assert ratio < 1.1  # raw storage + tables: no compression
+    out = jcodec.decompress(data)
+    err, _ = rel_error_and_snr(vol, out)
+    assert err < 1e-5  # only transform forward+inverse error remains
+
+
+def test_noncontiguous_and_f64_inputs():
+    vol = make_radial_volume(nz=16, ny=16, nx=32)
+    strided = vol[::1, ::1, ::2]  # non-contiguous view
+    d1, _ = jcodec.compress(np.ascontiguousarray(strided), 1e-2, block=(8, 8, 8))
+    d2, _ = jcodec.compress(strided, 1e-2, block=(8, 8, 8))
+    np.testing.assert_array_equal(d1, d2)
+    d3, _ = jcodec.compress(strided.astype(np.float64), 1e-2, block=(8, 8, 8))
+    np.testing.assert_array_equal(d1, d3)

@@ -54,3 +54,23 @@ def test_snapshot_all_zero():
     store.append(np.zeros(shape, np.float32))
     out = np.asarray(store.get(0))
     np.testing.assert_array_equal(out, 0.0)
+
+
+def test_snapshot_capacity_overflow_retry():
+    """A later snapshot with more active chunks than the speculative bucket
+    triggers the deferred re-sparsify (validation path)."""
+    shape = (32, 32, 32)
+    store = DeviceSnapshotStack(shape, 1e-2, block=(16, 16, 16),
+                                max_pending=1)
+    sparse = np.zeros(shape, np.float32)
+    sparse[0, 0, 0] = 1.0  # tiny active set -> small first bucket
+    store.append(sparse)
+    dense = make_radial_volume(*shape)  # much larger active set
+    store.append(dense)
+    store.flush()
+    out0 = np.asarray(store.get(0))
+    out1 = np.asarray(store.get(1))
+    err1, _ = rel_error_and_snr(dense, out1)
+    assert err1 < 2e-2, err1
+    assert abs(out0[0, 0, 0] - 1.0) < 1e-2
+    assert np.abs(out0.ravel()[1:]).max() < 1e-2
