@@ -124,7 +124,13 @@ class CvxCompress:
 
     @staticmethod
     def Run_Module_Tests(verbose=False, exhaustive=False):
-        """Run the test suite (reference: CvxCompress.hxx:133). Uses pytest."""
+        """Run the test suite (reference: CvxCompress.hxx:133).
+
+        Runs pytest; `exhaustive` additionally runs the staged module tests
+        (tools/module_tests.py) with the full 8..256 block-shape sweep,
+        mirroring the reference's exhaustive switch (CvxCompress.cpp:695).
+        """
+        import os
         import subprocess
         import sys
 
@@ -132,9 +138,14 @@ class CvxCompress:
         if verbose:
             args.remove("-q")
             args.append("-v")
-        if exhaustive:
-            args += ["-m", ""]
-        return subprocess.call(args) == 0
+        ok = subprocess.call(args) == 0
+        if ok and exhaustive:
+            mt = os.path.join(
+                os.path.dirname(__file__), "..", "tools", "module_tests.py"
+            )
+            if os.path.exists(mt):
+                ok = subprocess.call([sys.executable, mt, "--exhaustive"]) == 0
+        return ok
 
 
 def to_bytes(data) -> bytes:

@@ -55,11 +55,11 @@ def _load():
         ]
         lib.cvx_rle_decode_block.restype = ctypes.c_int64
         lib.cvx_rle_decode_block.argtypes = [
-            ctypes.c_float, _u8p, _f32p, ctypes.c_int64,
+            ctypes.c_float, _u8p, ctypes.c_int64, _f32p, ctypes.c_int64,
         ]
-        lib.cvx_decode_payloads.restype = None
+        lib.cvx_decode_payloads.restype = ctypes.c_int
         lib.cvx_decode_payloads.argtypes = [
-            _u8p, _i64p, _f32p, ctypes.c_float,
+            _u8p, ctypes.c_int64, _i64p, _f32p, ctypes.c_float,
             ctypes.c_int64, ctypes.c_int64, _f32p,
         ]
         lib.cvx_encode_payloads.restype = None
@@ -116,14 +116,19 @@ def _fp(a):
 
 
 def decode_block(mulfac, stream, cells):
-    """Decode one block payload -> (cells,) float32."""
+    """Decode one block payload -> (cells,) float32.
+
+    Raises ValueError on a truncated/overrunning stream.
+    """
     lib = _load()
     out = np.empty(int(cells), dtype=F32)
     s = np.ascontiguousarray(np.frombuffer(memoryview(stream), dtype=np.uint8))
-    lib.cvx_rle_decode_block(
-        ctypes.c_float(float(mulfac)), s.ctypes.data_as(_u8p), _fp(out),
-        int(cells),
+    rc = lib.cvx_rle_decode_block(
+        ctypes.c_float(float(mulfac)), s.ctypes.data_as(_u8p), s.size,
+        _fp(out), int(cells),
     )
+    if rc < 0:
+        raise ValueError("truncated RLE stream")
     return out
 
 
@@ -140,7 +145,11 @@ def encode_block(mulfac, vals):
 
 
 def decode_payloads(payload, blkoffs, blkmulfac, glob_mulfac, cells):
-    """Decode all block payloads (parallel, native) -> (nnn, cells) f32."""
+    """Decode all block payloads (parallel, native) -> (nnn, cells) f32.
+
+    Decoding is bounded by the payload buffer; raises ValueError when any
+    block's stream is truncated or overruns it.
+    """
     lib = _load()
     payload = np.ascontiguousarray(payload, dtype=np.uint8)
     blkoffs = np.ascontiguousarray(blkoffs, dtype=np.int64)
@@ -151,10 +160,13 @@ def decode_payloads(payload, blkoffs, blkmulfac, glob_mulfac, cells):
         if blkmulfac is not None
         else ctypes.cast(None, _f32p)
     )
-    lib.cvx_decode_payloads(
-        payload.ctypes.data_as(_u8p), blkoffs.ctypes.data_as(_i64p), mfp,
+    rc = lib.cvx_decode_payloads(
+        payload.ctypes.data_as(_u8p), payload.size,
+        blkoffs.ctypes.data_as(_i64p), mfp,
         ctypes.c_float(float(glob_mulfac)), nnn, int(cells), _fp(out),
     )
+    if rc != 0:
+        raise ValueError("corrupt container: block stream truncated")
     return out
 
 

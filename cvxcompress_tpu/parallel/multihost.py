@@ -108,12 +108,27 @@ def merge_segment_files(paths, vol_shape, block, scale=None,
                         use_local_rms=False):
     """Merge per-host segment files into one container.
 
-    The shared glob_mulfac is read back from the first segment's header.
+    The shared glob_mulfac is read back from the first segment's header;
+    every other segment's header must agree (same mulfac, block dims, and
+    RMS mode) or the merge is rejected — segments compressed at different
+    scales would otherwise merge silently into a corrupt container.
     """
     from .. import container as ctn
 
     segments = [np.fromfile(p, dtype=np.uint8) for p in paths]
     hdr, _, _, _ = ctn.unpack(segments[0])
+    for p, seg in zip(paths[1:], segments[1:]):
+        h = ctn.unpack(seg)[0]
+        same = (
+            h.glob_mulfac.view(np.uint32) == hdr.glob_mulfac.view(np.uint32)
+            and (h.bx, h.by, h.bz) == (hdr.bx, hdr.by, hdr.bz)
+            and h.use_local_rms == hdr.use_local_rms
+        )
+        if not same:
+            raise ValueError(
+                f"segment {p} header mismatch: mulfac/block/RMS-mode differ "
+                f"from {paths[0]}"
+            )
     return sharded.merge_segments(
         segments, vol_shape, block, hdr.glob_mulfac, use_local_rms
     )

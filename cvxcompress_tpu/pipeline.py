@@ -18,28 +18,51 @@ saturates; workers=4-8 is enough to hide several RTTs of latency.
 
 from __future__ import annotations
 
+import collections
 import concurrent.futures as _cf
 
 from .ops import codec as _codec
 
 
+def _windowed(ex, fn, items, window):
+    """Submit at most `window` items ahead, yielding results in order.
+
+    Pulls from `items` lazily so an unbounded stream (the RTM snapshot
+    use case) holds at most `window` volumes in flight at any time.
+    """
+    items = iter(items)
+    futs = collections.deque()
+    try:
+        while True:
+            while len(futs) < window:
+                try:
+                    futs.append(ex.submit(fn, next(items)))
+                except StopIteration:
+                    break
+            if not futs:
+                return
+            yield futs.popleft().result()
+    finally:
+        for f in futs:
+            f.cancel()
+
+
 def compress_stream(volumes, scale, block=(32, 32, 32), use_local_rms=False,
                     workers=6):
     """Compress an iterable of same-shape volumes, pipelined; yields
-    (container, ratio) in input order."""
+    (container, ratio) in input order.  At most workers+1 volumes are
+    in flight (the input iterable is consumed lazily)."""
     with _cf.ThreadPoolExecutor(workers) as ex:
-        futs = [
-            ex.submit(_codec.compress, v, scale, block, use_local_rms)
-            for v in volumes
-        ]
-        for f in futs:
-            yield f.result()
+        yield from _windowed(
+            ex,
+            lambda v: _codec.compress(v, scale, block, use_local_rms),
+            volumes,
+            workers + 1,
+        )
 
 
 def decompress_stream(containers, workers=6):
     """Decompress an iterable of containers, pipelined; yields volumes in
-    input order."""
+    input order.  At most workers+1 containers are in flight."""
     with _cf.ThreadPoolExecutor(workers) as ex:
-        futs = [ex.submit(_codec.decompress, d) for d in containers]
-        for f in futs:
-            yield f.result()
+        yield from _windowed(ex, _codec.decompress, containers, workers + 1)

@@ -255,38 +255,50 @@ int64_t rle_encode_block(float mulfac, const float* vals, int64_t cells,
   return d - out;
 }
 
-// decode one block's stream into `out` (cells floats); returns bytes consumed
-int64_t rle_decode_block(float mulfac, const uint8_t* src, float* out,
-                         int64_t cells) {
+// Decode one block's stream (at most `avail` readable bytes) into `out`
+// (cells floats); returns bytes consumed, or -1 when the stream is
+// truncated or a token would write past `cells` values.  The bound makes
+// corrupt containers fail loudly instead of reading out of bounds.
+int64_t rle_decode_block(float mulfac, const uint8_t* src, int64_t avail,
+                         float* out, int64_t cells) {
   const float scalefac = 1.0f / mulfac;
   const uint8_t* p = src;
+  const uint8_t* const end = src + avail;
   int64_t n = 0;
   while (n < cells) {
+    if (p >= end) return -1;
     const int8_t c = (int8_t)*p;
     if (c > -125 && c < 125) {
       out[n++] = (float)(int32_t)c * scalefac;
       p += 1;
     } else if (c == 127) {  // RLESC1
+      if (p + 2 > end) return -1;
       int64_t run = p[1];
+      if (n + run > cells) return -1;
       for (int64_t j = 0; j < run; ++j) out[n + j] = 0.0f;
       n += run;
       p += 2;
     } else if (c == 125) {  // RLESC3
+      if (p + 4 > end) return -1;
       int64_t run = (int64_t)p[1] | ((int64_t)p[2] << 8) | ((int64_t)p[3] << 16);
+      if (n + run > cells) return -1;
       for (int64_t j = 0; j < run; ++j) out[n + j] = 0.0f;
       n += run;
       p += 4;
     } else if (c == -125) {  // VLESC2
+      if (p + 3 > end) return -1;
       int16_t q;
       std::memcpy(&q, p + 1, 2);
       out[n++] = (float)(int32_t)q * scalefac;
       p += 3;
     } else if (c == -127) {  // VLESC3
+      if (p + 4 > end) return -1;
       int32_t q = (int32_t)p[1] | ((int32_t)p[2] << 8) | ((int32_t)p[3] << 16);
       if (q >= (1 << 23)) q -= (1 << 24);
       out[n++] = (float)q * scalefac;
       p += 4;
     } else if (c == -126) {  // VLESC2_8x
+      if (p + 17 > end || n + 8 > cells) return -1;
       for (int l = 0; l < 8; ++l) {
         int16_t q;
         std::memcpy(&q, p + 1 + 2 * l, 2);
@@ -295,6 +307,7 @@ int64_t rle_decode_block(float mulfac, const uint8_t* src, float* out,
       n += 8;
       p += 17;
     } else if (c == 126) {  // VLESC3_8x
+      if (p + 25 > end || n + 8 > cells) return -1;
       for (int l = 0; l < 8; ++l) {
         const uint8_t* b = p + 1 + 3 * l;
         int32_t q = (int32_t)b[0] | ((int32_t)b[1] << 8) | ((int32_t)b[2] << 16);
@@ -304,6 +317,7 @@ int64_t rle_decode_block(float mulfac, const uint8_t* src, float* out,
       n += 8;
       p += 25;
     } else {  // VLESC4 (c == -128)
+      if (p + 5 > end) return -1;
       float f;
       std::memcpy(&f, p + 1, 4);
       out[n++] = f * scalefac;
@@ -393,27 +407,42 @@ int64_t cvx_rle_encode_block(float mulfac, const float* vals, int64_t cells,
   return rle_encode_block(mulfac, vals, cells, out);
 }
 
-int64_t cvx_rle_decode_block(float mulfac, const uint8_t* src, float* out,
-                             int64_t cells) {
-  return rle_decode_block(mulfac, src, out, cells);
+int64_t cvx_rle_decode_block(float mulfac, const uint8_t* src, int64_t avail,
+                             float* out, int64_t cells) {
+  return rle_decode_block(mulfac, src, avail, out, cells);
 }
 
 // Decode every block payload of a parsed container into a dense
 // (nnn, cells) coefficient matrix. blkoffs carry the RAW flag in the MSB.
-void cvx_decode_payloads(const uint8_t* payload, const int64_t* blkoffs,
-                         const float* blkmulfac, float glob_mulfac,
-                         int64_t nnn, int64_t cells, float* out) {
+// `avail` bounds the payload area; returns 0 on success, -1 when any block
+// is truncated / overruns (decoding stops at the buffer end either way).
+int cvx_decode_payloads(const uint8_t* payload, int64_t avail,
+                        const int64_t* blkoffs, const float* blkmulfac,
+                        float glob_mulfac, int64_t nnn, int64_t cells,
+                        float* out) {
+  std::atomic<int> bad{0};
 #pragma omp parallel for schedule(dynamic, 4)
   for (int64_t i = 0; i < nnn; ++i) {
     const int64_t off = blkoffs[i];
     float* dst = out + i * cells;
     if (off & RAW_FLAG) {
-      std::memcpy(dst, payload + (off & ~RAW_FLAG), sizeof(float) * cells);
+      const int64_t o = off & ~RAW_FLAG;
+      if (o < 0 || o + 4 * cells > avail) {
+        std::memset(dst, 0, sizeof(float) * cells);
+        bad.store(1, std::memory_order_relaxed);
+      } else {
+        std::memcpy(dst, payload + o, sizeof(float) * cells);
+      }
     } else {
       const float mf = blkmulfac ? blkmulfac[i] : glob_mulfac;
-      rle_decode_block(mf, payload + off, dst, cells);
+      if (off < 0 || off >= avail ||
+          rle_decode_block(mf, payload + off, avail - off, dst, cells) < 0) {
+        std::memset(dst, 0, sizeof(float) * cells);
+        bad.store(1, std::memory_order_relaxed);
+      }
     }
   }
+  return bad.load() ? -1 : 0;
 }
 
 // Encode a dense (nnn, cells) coefficient matrix into per-block streams.
@@ -543,7 +572,8 @@ static float host_compress(float scale, const float* vol, int nx, int ny,
 }
 
 static void host_decompress(float* vol, int nx, int ny, int nz,
-                            const unsigned int* compressed, int num_threads) {
+                            const unsigned int* compressed, int num_threads,
+                            int64_t compressed_length) {
 #ifdef _OPENMP
   omp_set_num_threads(num_threads);
 #endif
@@ -561,6 +591,12 @@ static void host_decompress(float* vol, int nx, int ny, int nz,
   const uint8_t* payload = use_local
                                ? (const uint8_t*)(blkmulfac + g.nnn)
                                : (const uint8_t*)(blkoffs + g.nnn);
+  // payload-area bound; a caller passing length <= 0 (unknown) gets the
+  // legacy trust-the-offset-table behavior
+  const int64_t avail =
+      compressed_length > 0
+          ? compressed_length - (payload - (const uint8_t*)compressed)
+          : INT64_MAX;
 #pragma omp parallel
   {
     std::vector<float> blk(cells), tmp(std::max(bx, std::max(by, bz)));
@@ -570,13 +606,19 @@ static void host_decompress(float* vol, int nx, int ny, int nz,
       const int64_t r = i - (int64_t)iiz * g.nbx * g.nby;
       const int iiy = (int)(r / g.nbx), iix = (int)(r % g.nbx);
       const int64_t off = blkoffs[i];
+      bool ok = true;
       if (off & RAW_FLAG) {
-        std::memcpy(blk.data(), payload + (off & ~RAW_FLAG),
-                    sizeof(float) * cells);
+        const int64_t o = off & ~RAW_FLAG;
+        ok = o >= 0 && o + 4 * cells <= avail;
+        if (ok)
+          std::memcpy(blk.data(), payload + o, sizeof(float) * cells);
       } else {
         const float mf = use_local ? blkmulfac[i] : glob_mulfac;
-        rle_decode_block(mf, payload + off, blk.data(), cells);
+        ok = off >= 0 && off < avail &&
+             rle_decode_block(mf, payload + off, avail - off, blk.data(),
+                              cells) >= 0;
       }
+      if (!ok) std::memset(blk.data(), 0, sizeof(float) * cells);
       wav_inv_block(blk.data(), tmp.data(), bx, by, bz);
       insert_block(vol, nx, ny, nz, iix * bx, iiy * by, iiz * bz, bx, by, bz,
                    blk.data());
@@ -609,15 +651,15 @@ float cvx_compress_th(float scale, float* vol, int nx, int ny, int nz, int bx,
 
 void cvx_decompress_inplace(float* vol, int nx, int ny, int nz,
                             unsigned int* compressed, long compressed_length) {
-  (void)compressed_length;
-  host_decompress(vol, nx, ny, nz, compressed, num_threads_default());
+  host_decompress(vol, nx, ny, nz, compressed, num_threads_default(),
+                  (int64_t)compressed_length);
 }
 
 void cvx_decompress_inplace_th(float* vol, int nx, int ny, int nz,
                                unsigned int* compressed, int num_threads,
                                long compressed_length) {
-  (void)compressed_length;
-  host_decompress(vol, nx, ny, nz, compressed, num_threads);
+  host_decompress(vol, nx, ny, nz, compressed, num_threads,
+                  (int64_t)compressed_length);
 }
 
 float* cvx_decompress_outofplace(int* nx, int* ny, int* nz,

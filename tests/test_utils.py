@@ -96,6 +96,60 @@ def test_decompress_inplace_api():
         cc.Decompress_Inplace(np.empty((8, 8, 8), np.float32), data)
 
 
+def test_decode_bounded_on_midpayload_truncation(rng):
+    """A cut that keeps every offset in range but truncates a block's
+    STREAM is caught by the buffer-bounded decoders (ADVICE round-1 high:
+    the old validate() passed such containers straight into C++)."""
+    vol = rng.standard_normal((16, 16, 16)).astype(np.float32)
+    data, _ = cvx.compress(vol, 1e-2, block=(8, 8, 8))
+    cut = data[: data.size - 64]
+    with pytest.raises(ValueError):
+        cvx.decompress(cut, backend="jax")
+    from cvxcompress_tpu.ops import rle_host
+
+    if rle_host.available():
+        with pytest.raises(ValueError):
+            # drive the native batch decoder directly as well
+            from cvxcompress_tpu import container as ctn
+
+            hdr, blkoffs, _, pbase = ctn.unpack(cut)
+            rle_host.decode_payloads(
+                cut[pbase:], blkoffs, None, hdr.glob_mulfac, 512
+            )
+
+
+def test_validate_rejects_raw_block_overrun():
+    """A raw-flagged block whose 4*cells extent exceeds the payload area
+    is rejected by validate() before any decoder runs."""
+    from cvxcompress_tpu import container as ctn
+    from cvxcompress_tpu.utils import io as uio
+
+    vol = volumes.radial_volume(16, 16, 16)
+    data, _ = cvx.compress(vol, 1e-2, block=(8, 8, 8))
+    bad = data.copy()
+    # mark block 0 raw: its extent (4*512 B) far exceeds the tiny payload
+    off0 = bad[32:40].view(np.int64)[0]
+    bad[32:40] = np.array(
+        [off0 | ctn.RAW_FLAG], dtype=np.int64
+    ).view(np.uint8)
+    with pytest.raises(ValueError):
+        uio.validate(bad)
+
+
+def test_native_decode_block_bounded():
+    from cvxcompress_tpu.ops import rle_host
+
+    if not rle_host.available():
+        pytest.skip("native runtime unavailable")
+    from cvxcompress_tpu.oracle import rle as orle
+
+    payload = orle.encode(3.0, np.arange(64, dtype=np.float32))
+    full = rle_host.decode_block(3.0, payload, 64)
+    assert full.size == 64
+    with pytest.raises(ValueError):
+        rle_host.decode_block(3.0, payload[: len(payload) // 2], 64)
+
+
 def test_decompress_rejects_corrupt_offsets():
     """A container whose offset table points past the payload is rejected
     before reaching the native decoder."""

@@ -142,19 +142,35 @@ def stage_5_6_block_layout(exhaustive):
 
 
 def stage_7_layout_throughput(quick):
+    import jax
     import jax.numpy as jnp
 
     from cvxcompress_tpu.ops import blocks as blkops
     from cvxcompress_tpu.utils import profiling as prof
 
     n = 256 if quick else 512
-    vol = jnp.zeros((n, n, n), jnp.float32)
-    import jax
+    vol_np = volumes_pattern(n)
+    vol = jnp.asarray(vol_np)
 
     f = jax.jit(lambda v: blkops.to_blocks(v, (32, 32, 32)))
-    el, _ = prof.fetch_timed(f, vol)
+    el, out = prof.fetch_timed(f, vol)
     gbs = vol.size * 4 * 2 / el / 1e9
-    check("[7] block layout throughput", gbs > 0, f"{gbs:.1f} GB/s")
+    # correctness: first/last block bit-exact vs the NumPy layout path
+    want = blkops.to_blocks_np(vol_np, (32, 32, 32))
+    got0 = np.asarray(out[0]).ravel()
+    gotl = np.asarray(out[-1]).ravel()
+    exact = np.array_equal(
+        got0.view(np.uint32), want[0].ravel().view(np.uint32)
+    ) and np.array_equal(gotl.view(np.uint32), want[-1].ravel().view(np.uint32))
+    # falsifiable bar: even a host CPU sustains > 0.5 GB/s on this move
+    check("[7] block layout throughput + exactness", exact and gbs > 0.5,
+          f"{gbs:.1f} GB/s")
+
+
+def volumes_pattern(n):
+    from cvxcompress_tpu.utils import volumes
+
+    return volumes.pattern_volume(n, n, n, seed=7)
 
 
 def stage_8_rms():
@@ -164,8 +180,7 @@ def stage_8_rms():
     vol = (r.standard_normal((37, 41, 43)) * 3).astype(np.float32)
     got = float(quant.global_rms_host(vol))
     want = float(
-        np.sqrt(sum(float(v) ** 2 for v in vol.ravel()[::971]) * 0 + np.sum(
-            np.square(vol, dtype=np.float64)) / vol.size)
+        np.sqrt(np.sum(np.square(vol, dtype=np.float64)) / vol.size)
     )
     rel = abs(got - want) / want
     check("[8] global RMS vs f64 loop (37x41x43)", rel < 1e-5, f"rel {rel:.1e}")
