@@ -248,8 +248,14 @@ def compress(vol, scale, block=(32, 32, 32), use_local_rms=False,
 
 
 @functools.partial(jax.jit, static_argnames=("vol_shape", "block", "chunk"))
-def _decompress_sparse(payload_rows, invmap, vol_shape, block, chunk):
-    """Chunk-sparse coefficients -> volume (expand + inverse wavelet)."""
+def _decompress_sparse_blockmajor(payload_rows, invmap, vol_shape, block,
+                                  chunk):
+    """Chunk-sparse coefficients -> volume via the block-major expand.
+
+    Legacy path (kept for A/B verification): row-gather to a dense
+    block-major batch, inverse transform, then the 6D un-layout transpose —
+    the transpose dominates at small bx (PERF_NOTES.md "Known ceiling").
+    """
     bx, by, bz = block
     padded = jnp.concatenate(
         [payload_rows, jnp.zeros((1, chunk), jnp.float32)], axis=0
@@ -258,6 +264,66 @@ def _decompress_sparse(payload_rows, invmap, vol_shape, block, chunk):
     cb = dense.reshape(-1, bz, by, bx)
     out = wavelet.inverse_3d(cb)
     return blk.from_blocks(out, vol_shape, block)
+
+
+def _sparse_to_volume(payload_rows, invmap, vol_shape, block, chunk):
+    """Chunk-sparse coefficients -> volume with NO block-major relayout.
+
+    TPU-first re-statement of the decompress data path (reference:
+    CvxCompress.cpp:528-568 decode -> inverse -> scatter per block):
+
+      1. apply the x-axis inverse operator to the PAYLOAD rows (compressed
+         size) — per-row linearity commutes with the expand gather;
+      2. expand straight into VOLUME order: transpose the (cheap, /bx-sized)
+         sub-row INDEX array instead of the data, then one row gather;
+      3. y- and z-axis inverse contractions in volume order.
+
+    The 6D block-major->volume transpose (the dominant cost at 32^3,
+    PERF_NOTES.md) never happens: the only full-size data moves are the
+    gather write and the two contractions.
+    """
+    nz, ny, nx = vol_shape
+    bx, by, bz = block
+    nbz, nby, nbx = -(-nz // bz), -(-ny // by), -(-nx // bx)
+    w = min(bx, chunk)  # gather-row width: x-rows, or x-row pieces
+    rpc = chunk // w  # sub-rows per chunk
+    ppb = bx // w  # sub-row pieces per x-block extent
+    acap = payload_rows.shape[0]
+
+    hi = jax.lax.Precision.HIGHEST
+    padded = jnp.concatenate(
+        [payload_rows, jnp.zeros((1, chunk), jnp.float32)], axis=0
+    )
+    sub = padded.reshape((acap + 1) * rpc, w)
+    if bx > 1 and w == bx:
+        # x-inverse on compressed-size rows (pad row stays zero: linear)
+        sub = jnp.einsum(
+            "rx,Xx->rX", sub, wavelet._f32(wavelet.inverse_matrix(bx)),
+            precision=hi, preferred_element_type=jnp.float32,
+        )
+
+    # sub-row gather indices, built in block-major order (trivial) and
+    # permuted to volume order as an INDEX transpose (bytes / w of a data
+    # transpose)
+    g = invmap[:, None] * rpc + jnp.arange(rpc, dtype=jnp.int32)[None, :]
+    g = g.reshape(nbz, nby, nbx, bz, by, ppb).transpose(0, 3, 1, 4, 2, 5)
+    rows = jnp.take(sub, g.reshape(-1), axis=0)  # (nzp*nyp*nbx*ppb, w)
+    rows = rows.reshape(nbz * bz * nby * by, nbx * bx)
+
+    if bx > 1 and w != bx:
+        # chunk narrower than the x extent (bx=256): x-inverse post-gather
+        rows = rows.reshape(-1, bx)
+        rows = jnp.einsum(
+            "rx,Xx->rX", rows, wavelet._f32(wavelet.inverse_matrix(bx)),
+            precision=hi, preferred_element_type=jnp.float32,
+        ).reshape(nbz * bz * nby * by, nbx * bx)
+
+    return wavelet.inverse_3d_volume(rows, vol_shape, block)
+
+
+@functools.partial(jax.jit, static_argnames=("vol_shape", "block", "chunk"))
+def _decompress_sparse(payload_rows, invmap, vol_shape, block, chunk):
+    return _sparse_to_volume(payload_rows, invmap, vol_shape, block, chunk)
 
 
 def _decode_payloads_host(data, hdr, blkoffs, blkmulfac, payload_base):
@@ -293,10 +359,18 @@ def _decode_payloads_host(data, hdr, blkoffs, blkmulfac, payload_base):
         off &= 0x7FFFFFFFFFFFFFFF
         start = payload_base + off
         if is_raw:
-            coeffs[ib] = raw[start : start + 4 * cells].copy().view(F32)
+            rb = raw[start : start + 4 * cells]
+            if rb.size != 4 * cells:
+                raise ValueError("corrupt container: raw block truncated")
+            coeffs[ib] = rb.copy().view(F32)
         else:
             mulfac = blkmulfac[ib] if hdr.use_local_rms else hdr.glob_mulfac
-            coeffs[ib], _ = orle.decode(mulfac, raw[start:], cells)
+            try:
+                coeffs[ib], _ = orle.decode(mulfac, raw[start:], cells)
+            except IndexError:
+                raise ValueError(
+                    "corrupt container: block stream truncated"
+                ) from None
     return coeffs
 
 

@@ -188,6 +188,34 @@ def forward_3d_blocked(vol, vol_shape3, block):
     return a.reshape(nbz * nby * nbx, bz, by, bx)
 
 
+def inverse_3d_volume(rows, vol_shape3, block):
+    """Inverse transform of VOLUME-ORDER coefficient rows (x already done).
+
+    `rows` is (nzp*nyp, nxp) float32 in padded volume order whose x-axis
+    inverse has ALREADY been applied (the caller runs the x contraction on
+    the compressed-size payload before expanding — linearity lets the
+    per-row operator commute with the row gather).  Applies the y and z
+    contractions in volume order — no block-major permutation anywhere —
+    and clips the padding.  Same operators, same x->y->z order as
+    inverse_3d (Wavelet_Transform_Slow.cpp:296-300).
+    """
+    nz, ny, nx = vol_shape3
+    bx, by, bz = block
+    nbz, nby, nbx = -(-nz // bz), -(-ny // by), -(-nx // bx)
+    nzp, nyp, nxp = nbz * bz, nby * by, nbx * bx
+    hi = jax.lax.Precision.HIGHEST
+    a = rows
+    if by > 1:
+        a = a.reshape(nzp, nby, by, nxp)
+        a = jnp.einsum("zgyx,Yy->zgYx", a, _f32(inverse_matrix(by)),
+                       precision=hi, preferred_element_type=jnp.float32)
+    if bz > 1:
+        a = a.reshape(nbz, bz, nyp * nxp)
+        a = jnp.einsum("hzr,Zz->hZr", a, _f32(inverse_matrix(bz)),
+                       precision=hi, preferred_element_type=jnp.float32)
+    return a.reshape(nzp, nyp, nxp)[:nz, :ny, :nx]
+
+
 def flops_per_cell(block):
     """Analytic FLOP count per cell for the matmul formulation.
 

@@ -14,18 +14,29 @@ TPU-native design keeps the compressed snapshots IN HBM:
     for step in reversed(range(T)):
         u_hat = store.get(step)    # device-only: expand + inverse wavelet
 
-Representation per snapshot: the quantization-thresholded, DEQUANTIZED
-wavelet coefficients in chunk-sparse form — only chunks containing a
-surviving coefficient are stored ((active, chunk) f32 rows plus an
-(nchunks,) int32 inverse map).  Reconstruction error is identical to the
-byte-stream codec at the same scale (same transform, same truncating
-quantizer, same dequantization); what is traded away is the entropy
-stage's final ~2-4x byte packing, in exchange for zero host traffic and
-O(0.1 ms) access.  `to_container`/`from_container` convert to the portable
-byte-stream format (through the host) when snapshots must be persisted.
+Representation per snapshot: the SCALED INTEGER wavelet coefficients
+(float(trunc(mulfac*c)), exact for every reachable value) in chunk-sparse
+form — only chunks containing a surviving coefficient are stored
+((active, chunk) f32 rows plus an (nchunks,) int32 inverse map).
+Reconstruction uses the byte-stream codec's dequantization (i * (1/mulfac),
+Run_Length_Encode_Slow.cpp:392); the same transform and the same truncating
+quantizer, except that the stack's mulfac comes from a float32 device
+sum-of-squares rather than the codec's host-f64 reduction, so the two can
+differ by ~1 ulp of RMS (quantizer-step-level output differences).  What is
+traded away is the entropy stage's final ~2-4x byte packing, in exchange
+for zero host traffic and O(0.1 ms) access.
 
-Memory is bucketed per snapshot (power-of-two active-chunk capacities) so
-a steady-state RTM loop reuses compiled programs and allocation sizes.
+`to_container(i)` / `from_container(data)` convert to/from the portable
+byte-stream container (through the host).  Because the stored values are
+the exact scaled integers, `to_container` re-encodes losslessly: decoding
+its output reproduces the snapshot reconstruction bit-for-bit.
+
+Memory: snapshots are bucketed (power-of-two active-chunk capacities) so a
+steady-state RTM loop reuses compiled programs and allocation sizes.
+Appends dispatch speculatively against the last-known bucket; the
+active-chunk count is fetched ASYNCHRONOUSLY and validated within at most
+`max_pending` (default 2) appends, so the stack retains O(max_pending)
+dense volumes of HBM for the rare capacity-overflow retry — not O(T).
 """
 
 from __future__ import annotations
@@ -37,16 +48,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import container as ctn
-from .ops import blocks as blk
 from .ops import quant, rle_device, wavelet
+
+F32 = np.float32
 
 
 @functools.partial(jax.jit, static_argnames=("block", "chunk"))
 def _snap_encode(vol, scale, block, chunk):
-    """vol -> (deq chunks (nchunks, chunk) f32, mask, ranks, acount).
+    """vol -> (fiv chunks (nchunks, chunk) f32, mask, ranks, acount, mulfac).
 
-    The global-RMS mulfac is computed in the same jit (eager scalar ops
-    cost one dispatch round trip EACH through tunneled backends).
+    fiv = float(trunc(mulfac*coeff)): the scaled-integer representation
+    (exact — every int32 produced by the truncating quantizer of a float32
+    product is exactly representable as float32).  The global-RMS mulfac is
+    computed in the same jit (eager scalar ops cost one dispatch round trip
+    EACH through tunneled backends).
     """
     ss = jnp.sum(jnp.square(vol.astype(jnp.float32)))
     rms = jnp.sqrt(ss / vol.size)
@@ -57,18 +72,18 @@ def _snap_encode(vol, scale, block, chunk):
     nchunks = n * (cells // chunk)
     cc = coeffs.reshape(nchunks, chunk)
     fv, iv = quant.quantize(cc, glob_mulfac)
-    deq = iv.astype(jnp.float32) * quant.dequant_scalefac(glob_mulfac)
+    fiv = iv.astype(jnp.float32)
     mask = (iv != 0).any(axis=1)
     # inverse map without scatters: rank among active chunks, else sentinel
     ranks = jnp.cumsum(mask.astype(jnp.int32)) - 1
     acount = mask.sum(dtype=jnp.int32)
-    return deq, mask, ranks, acount
+    return fiv, mask, ranks, acount, glob_mulfac
 
 
 @functools.partial(jax.jit, static_argnames=("acap",))
-def _snap_sparsify(deq, mask, ranks, acap):
+def _snap_sparsify(fiv, mask, ranks, acap):
     """Compact the active chunk rows to (acap, chunk) + (nchunks,) invmap."""
-    nchunks = deq.shape[0]
+    nchunks = fiv.shape[0]
     from .ops import pack
 
     cidx = jnp.arange(nchunks, dtype=jnp.int32)
@@ -81,27 +96,29 @@ def _snap_sparsify(deq, mask, ranks, acap):
             [aidx, jnp.zeros((acap - nchunks,), jnp.int32)]
         )
     )
-    payload = jnp.take(deq, aidx, axis=0)
+    payload = jnp.take(fiv, aidx, axis=0)
     invmap = jnp.where(mask, ranks, acap).astype(jnp.int32)
     return payload, invmap
 
 
 @functools.partial(jax.jit, static_argnames=("vol_shape", "block", "chunk"))
-def _snap_decode(payload, invmap, vol_shape, block, chunk):
-    bx, by, bz = block
-    padded = jnp.concatenate(
-        [payload, jnp.zeros((1, chunk), jnp.float32)], axis=0
-    )
-    dense = jnp.take(padded, invmap, axis=0)
-    cb = dense.reshape(-1, bz, by, bx)
-    out = wavelet.inverse_3d(cb)
-    return blk.from_blocks(out, vol_shape, block)
+def _snap_decode(payload, invmap, mulfac, vol_shape, block, chunk):
+    from .ops import codec as _codec
+
+    # dequantize the compressed-size payload, then run the exact same
+    # volume-order expand+inverse as the byte-stream decode path.  The
+    # barrier pins the dequantize rounding: without it XLA hoists the
+    # scalar multiply across the inverse matmuls ((x*s)@W -> (x@W)*s),
+    # breaking bit-parity with byte-stream decodes.
+    deq = payload * quant.dequant_scalefac(mulfac)
+    deq = jax.lax.optimization_barrier(deq)
+    return _codec._sparse_to_volume(deq, invmap, vol_shape, block, chunk)
 
 
 class DeviceSnapshotStack:
     """HBM-resident compressed snapshot sequence (see module docstring)."""
 
-    def __init__(self, vol_shape, scale, block=(32, 32, 32), max_pending=8):
+    def __init__(self, vol_shape, scale, block=(32, 32, 32), max_pending=2):
         bx, by, bz = block
         assert ctn.is_valid_block_size(bx, by, bz), "invalid block size"
         self.vol_shape = tuple(vol_shape)
@@ -110,10 +127,10 @@ class DeviceSnapshotStack:
         self.chunk = rle_device.chunk_cells(bx * by * bz)
         self._snaps = []
         # speculative capacity: appends dispatch against the last-known
-        # bucket without waiting for the count readback (one device round
-        # trip); validation is deferred up to `max_pending` snapshots, whose
-        # dense intermediates stay alive for the rare re-sparsify on
-        # overflow.  In an RTM loop the readbacks overlap propagation.
+        # bucket without a blocking count readback (the count is fetched
+        # asynchronously); validation is deferred at most `max_pending`
+        # snapshots, bounding retained dense intermediates to O(max_pending)
+        # volumes regardless of stack length.
         self._cap = None
         self._pending = []
         self._max_pending = max(1, int(max_pending))
@@ -122,28 +139,32 @@ class DeviceSnapshotStack:
         """Compress a device (or host) volume into the stack; returns index."""
         vol = jnp.asarray(vol, jnp.float32)
         assert vol.shape == self.vol_shape, (vol.shape, self.vol_shape)
-        deq, mask, ranks, acount = _snap_encode(
+        fiv, mask, ranks, acount, mulfac = _snap_encode(
             vol, jnp.float32(self.scale), self.block, self.chunk
         )
+        try:  # start the d2h early so validation rarely blocks
+            acount.copy_to_host_async()
+        except Exception:
+            pass
         if self._cap is None:
             self._cap = rle_device.bucket(int(acount), lo=1)  # sync once
-        payload, invmap = _snap_sparsify(deq, mask, ranks, self._cap)
+        payload, invmap = _snap_sparsify(fiv, mask, ranks, self._cap)
         idx = len(self._snaps)
-        self._snaps.append([payload, invmap, None])
-        self._pending.append((idx, acount, deq, mask, ranks))
-        if len(self._pending) > self._max_pending:
+        self._snaps.append([payload, invmap, mulfac, None])
+        self._pending.append((idx, acount, fiv, mask, ranks))
+        while len(self._pending) > self._max_pending:
             self._validate_one()
         return idx
 
     def _validate_one(self):
-        idx, acount_dev, deq, mask, ranks = self._pending.pop(0)
+        idx, acount_dev, fiv, mask, ranks = self._pending.pop(0)
         acount = int(acount_dev)
         if acount > self._snaps[idx][0].shape[0]:  # capacity overflow: redo
             self._cap = rle_device.bucket(acount, lo=1)
-            payload, invmap = _snap_sparsify(deq, mask, ranks, self._cap)
+            payload, invmap = _snap_sparsify(fiv, mask, ranks, self._cap)
             self._snaps[idx][0] = payload
             self._snaps[idx][1] = invmap
-        self._snaps[idx][2] = acount
+        self._snaps[idx][3] = acount
 
     def flush(self):
         """Resolve all pending capacity validations (frees intermediates)."""
@@ -153,9 +174,9 @@ class DeviceSnapshotStack:
     def get(self, i):
         """Reconstruct snapshot i as a device array (no host traffic)."""
         self.flush()
-        payload, invmap, _ = self._snaps[i]
+        payload, invmap, mulfac, _ = self._snaps[i]
         return _snap_decode(
-            payload, invmap, self.vol_shape, self.block, self.chunk
+            payload, invmap, mulfac, self.vol_shape, self.block, self.chunk
         )
 
     def __len__(self):
@@ -171,7 +192,7 @@ class DeviceSnapshotStack:
         """Device memory held by the compressed snapshots."""
         self.flush()
         total = 0
-        for payload, invmap, _ in self._snaps:
+        for payload, invmap, _, _ in self._snaps:
             total += payload.size * 4 + invmap.size * 4
         return total
 
@@ -180,3 +201,124 @@ class DeviceSnapshotStack:
         raw = len(self._snaps) * int(np.prod(self.vol_shape)) * 4
         held = self.nbytes()
         return raw / held if held else float("inf")
+
+    # ---------------------------------------------- container conversion
+
+    def to_container(self, i):
+        """Snapshot i -> portable byte-stream container (through the host).
+
+        Lossless: the stored values are the exact scaled integers, so the
+        entropy stage re-encodes them verbatim (tokens chosen from the same
+        integer values the direct codec path would emit); decoding the
+        returned container with the jax backend reproduces `get(i)`
+        bit-for-bit (other backends use the scalar inverse wavelet and
+        match to the usual 1e-5-relative transform contract).  The header
+        carries the stack's actual mulfac.
+        """
+        self.flush()
+        payload, invmap, mulfac_dev, acount = self._snaps[i]
+        nz, ny, nx = self.vol_shape
+        bx, by, bz = self.block
+        cells = bx * by * bz
+        mulfac = F32(np.asarray(mulfac_dev))
+
+        fiv_rows = np.asarray(payload[:acount])
+        inv = np.asarray(invmap)
+        nnn = inv.size // (cells // self.chunk)
+        dense = np.zeros((inv.size, self.chunk), dtype=F32)
+        live = inv < payload.shape[0]
+        if acount:
+            dense[live] = fiv_rows[inv[live]]
+        coeffs = dense.reshape(nnn, cells)
+        return _encode_fiv_container(
+            coeffs, mulfac, (nx, ny, nz), self.block
+        )
+
+    def from_container(self, data):
+        """Append a snapshot decoded from a byte-stream container.
+
+        The container must be global-RMS with this stack's volume shape and
+        block dims.  Exact: the scaled integers are recovered from the
+        tokens directly (no dequantize/requantize round trip), so `get` on
+        the new snapshot matches `decompress(data)` bit-for-bit.
+        """
+        from .ops import codec as _codec
+        from .utils import io as _io
+
+        _io.validate(data)
+        hdr, blkoffs, blkmf, pbase = ctn.unpack(data)
+        if hdr.use_local_rms:
+            raise ValueError("snapshot stack is global-RMS only")
+        if (hdr.nz, hdr.ny, hdr.nx) != self.vol_shape or (
+            hdr.bx, hdr.by, hdr.bz
+        ) != self.block:
+            raise ValueError("container shape/block mismatch with stack")
+        # decode with mulfac=1.0: token values come back as float(iv)
+        # exactly (and VLESC4 floats verbatim) — the stack representation
+        fiv = _codec._decode_payloads_host(
+            data, ctn.Header(hdr.nx, hdr.ny, hdr.nz, hdr.bx, hdr.by, hdr.bz,
+                             F32(1.0), False),
+            blkoffs, None, pbase,
+        )
+        cells = hdr.bx * hdr.by * hdr.bz
+        rows = fiv.reshape(-1, self.chunk)
+        live = rows.any(axis=1)
+        acount = int(live.sum())
+        acap = rle_device.bucket(acount, lo=1)
+        pay = np.zeros((acap, self.chunk), dtype=F32)
+        pay[:acount] = rows[live]
+        inv = np.full(rows.shape[0], acap, dtype=np.int32)
+        inv[live] = np.arange(acount, dtype=np.int32)
+        self._snaps.append([
+            jnp.asarray(pay), jnp.asarray(inv),
+            jnp.float32(hdr.glob_mulfac), acount,
+        ])
+        return len(self._snaps) - 1
+
+
+def _encode_fiv_container(fiv_coeffs, mulfac, dims_xyz, block):
+    """Entropy-encode scaled-integer coefficients into a container.
+
+    Encoding runs with mulfac'=1.0 (trunc(1.0*fiv) == iv exactly) while the
+    header records the true mulfac, so decoders reconstruct
+    float(iv)*(1/mulfac) — the snapshot's own dequantization.  Raw-fallback
+    blocks (encoded size > 4*cells) store the DEQUANTIZED values, since raw
+    payloads bypass the decoder's scalefac multiply (CvxCompress.cpp:552).
+    """
+    from .oracle import rle as orle
+
+    nx, ny, nz = dims_xyz
+    nnn, cells = fiv_coeffs.shape
+    try:
+        from .ops import rle_host
+
+        native = rle_host.available()
+    except Exception:
+        native = False
+
+    scalefac = F32(1.0) / mulfac
+    if native:
+        from .ops import rle_host
+
+        buf, stride, sizes, raw = rle_host.encode_payloads(
+            fiv_coeffs, np.full(nnn, 1.0, dtype=F32)
+        )
+        payloads = []
+        for b in range(nnn):
+            if raw[b]:
+                payloads.append(
+                    (fiv_coeffs[b] * scalefac).astype(F32).tobytes()
+                )
+            else:
+                payloads.append(buf[b, : sizes[b]].tobytes())
+    else:
+        payloads, raw = [], np.zeros(nnn, dtype=bool)
+        for b in range(nnn):
+            p = orle.encode(F32(1.0), fiv_coeffs[b])
+            if len(p) > 4 * cells:
+                raw[b] = True
+                p = (fiv_coeffs[b] * scalefac).astype(F32).tobytes()
+            payloads.append(p)
+
+    hdr = ctn.Header(nx, ny, nz, block[0], block[1], block[2], mulfac, False)
+    return ctn.pack(hdr, payloads, raw)

@@ -36,6 +36,39 @@ def test_roundtrip_radial_partial_blocks():
     assert err2 < err / 10
 
 
+@pytest.mark.parametrize(
+    "shape,block",
+    [
+        ((96, 64, 64), (32, 32, 32)),
+        ((19, 27, 41), (16, 16, 16)),
+        ((64, 64, 128), (128, 64, 32)),
+        ((1, 32, 32), (16, 16, 1)),
+        ((40, 24, 24), (8, 8, 8)),
+    ],
+)
+def test_volume_order_decompress_matches_blockmajor(shape, block, rng):
+    """The relayout-free decompress path agrees with the legacy block-major
+    expand+inverse+unlayout to the cross-shape matmul tolerance."""
+    import jax.numpy as jnp
+
+    from cvxcompress_tpu.ops import rle_device
+
+    vol = rng.standard_normal(shape).astype(np.float32)
+    data, _ = jcodec.compress(vol, 1e-3, block=block)
+    hdr, blkoffs, blkmf, pbase = ctn.unpack(data)
+    cells = block[0] * block[1] * block[2]
+    chunk = rle_device.chunk_cells(cells)
+    coeffs = jcodec._decode_payloads_host(data, hdr, blkoffs, blkmf, pbase)
+    pay, inv, _ = jcodec.sparse_chunks(coeffs, cells, chunk)
+    a = np.asarray(jcodec._decompress_sparse(
+        jnp.asarray(pay), jnp.asarray(inv), shape, block, chunk))
+    b = np.asarray(jcodec._decompress_sparse_blockmajor(
+        jnp.asarray(pay), jnp.asarray(inv), shape, block, chunk))
+    denom = np.sqrt(np.mean(b.astype(np.float64) ** 2)) + 1e-30
+    rel = np.sqrt(np.mean((a - b).astype(np.float64) ** 2)) / denom
+    assert rel < 1e-6, rel
+
+
 def test_cross_backend_decode():
     # jax-compressed containers decode with the oracle backend and vice versa
     vol = make_radial_volume(nz=16, ny=24, nx=32)

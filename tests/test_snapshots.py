@@ -56,6 +56,69 @@ def test_snapshot_all_zero():
     np.testing.assert_array_equal(out, 0.0)
 
 
+def test_snapshot_to_container_bit_exact():
+    """Decoding to_container's output reproduces get(i) bit-for-bit (the
+    stored scaled integers re-encode losslessly)."""
+    import cvxcompress_tpu as cvx
+
+    vol = make_radial_volume(nz=32, ny=32, nx=32)
+    store = DeviceSnapshotStack(vol.shape, 1e-2, block=(16, 16, 16))
+    i = store.append(vol)
+    snap = np.asarray(store.get(i))
+    data = store.to_container(i)
+    out = cvx.decompress(data)
+    np.testing.assert_array_equal(
+        snap.view(np.uint32), out.view(np.uint32)
+    )
+    # other backends use the scalar inverse wavelet: same 1e-5-relative
+    # contract the reference holds between its own fast/slow paths
+    out_o = cvx.decompress(data, backend="oracle")
+    denom = np.sqrt(np.mean(snap.astype(np.float64) ** 2)) + 1e-30
+    rel = np.sqrt(np.mean((out_o - snap).astype(np.float64) ** 2)) / denom
+    assert rel < 1e-5, rel
+
+
+def test_snapshot_from_container_bit_exact():
+    """from_container(compress(vol)) reconstructs exactly what
+    decompress(container) yields."""
+    import cvxcompress_tpu as cvx
+
+    vol = make_radial_volume(nz=32, ny=32, nx=32)
+    data, _ = cvx.compress(vol, 1e-2, block=(16, 16, 16))
+    ref = cvx.decompress(data)
+    store = DeviceSnapshotStack(vol.shape, 1e-2, block=(16, 16, 16))
+    i = store.from_container(data)
+    snap = np.asarray(store.get(i))
+    np.testing.assert_array_equal(snap.view(np.uint32), ref.view(np.uint32))
+
+
+def test_snapshot_container_roundtrip_chain():
+    """stack -> container -> fresh stack -> identical reconstruction."""
+    vol = make_sinusoid_volume(32, 32, 32, periods=3)
+    s1 = DeviceSnapshotStack(vol.shape, 1e-2, block=(32, 32, 32))
+    s1.append(vol)
+    data = s1.to_container(0)
+    s2 = DeviceSnapshotStack(vol.shape, 1e-2, block=(32, 32, 32))
+    s2.from_container(data)
+    a = np.asarray(s1.get(0))
+    b = np.asarray(s2.get(0))
+    np.testing.assert_array_equal(a.view(np.uint32), b.view(np.uint32))
+
+
+def test_snapshot_pending_bounded():
+    """Appends retain at most max_pending dense intermediates."""
+    shape = (16, 16, 16)
+    store = DeviceSnapshotStack(shape, 1e-2, block=(16, 16, 16),
+                                max_pending=2)
+    for s in range(6):
+        store.append(make_radial_volume(*shape, seed=s))
+    assert len(store._pending) <= 2
+    store.flush()
+    assert not store._pending
+    for i in range(6):
+        assert store._snaps[i][3] is not None  # validated
+
+
 def test_snapshot_capacity_overflow_retry():
     """A later snapshot with more active chunks than the speculative bucket
     triggers the deferred re-sparsify (validation path)."""
