@@ -4,19 +4,24 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "MCells/s", "vs_baseline": N, ...}
 
 Headline: harmonic-mean compress+decompress DEVICE-PIPELINE throughput on
-the reference's end-to-end CI config (320x416x352 sinusoid, 32^3 blocks,
-scale 1e-2, global RMS — Test_With_Generated_Input.cpp; the reference
-publishes 2,150 / 7,303 MC/s on a multi-core AVX CPU, README.md:79,
-harmonic mean 1,660 MC/s).
+the reference's end-to-end CI config (320x416x352 sinusoid — the exact
+Test_With_Generated_Input.cpp input, quality bars asserted in-bench —
+32^3 blocks, scale 1e-2, global RMS; the reference publishes
+2,150 / 7,303 MC/s on a multi-core AVX CPU, README.md:79, harmonic mean
+1,660 MC/s).
 
 "Device pipeline" = everything the chip does per volume: block layout,
-forward wavelet, tokenize, active-chunk packing (compress); chunk-sparse
-expand + inverse wavelet + un-layout (decompress).  Measured by dispatching
-K volumes and fetching once — through this environment's tunneled TPU,
-per-call dispatch+fetch costs ~30 ms RTT and d2h of computed buffers runs
-at ~30 MB/s, which are properties of the tunnel, not the framework or the
-chip (PERF_NOTES.md).  Host-path numbers (container on host, through the
-tunnel, pipelined with cvxcompress_tpu.pipeline) are reported in `detail`.
+forward wavelet, tokenize, active-chunk packing (compress); entropy
+parse (ops.entropy_decode), scatter-expand, and inverse wavelet
+(decompress — the parse is ON DEVICE, nothing of the entropy stage is
+host-side).  Measured by dispatching K volumes and fetching once —
+through this environment's tunneled TPU, per-call dispatch+fetch costs
+~30 ms RTT and d2h of computed buffers runs at ~30 MB/s, which are
+properties of the tunnel, not the framework or the chip (PERF_NOTES.md).
+The recurring HOST work per volume (container assembly on compress,
+segment planning on decompress) is measured separately and reported in
+`detail` (host_assembly_ms / host_plan_ms), as are the tunnel-bound
+host-path pipeline numbers.
 
 Usage: python bench.py [--quick] [--json-only]
 """
@@ -40,14 +45,12 @@ def log(*a):
 
 
 def make_volume(nz, ny, nx, periods=10):
-    z = np.sin(np.arange(nz) * np.pi * periods / nz).astype(np.float32)
-    vol = np.broadcast_to(z[:, None, None], (nz, ny, nx)).copy()
-    # sprinkle mild structure so the entropy stage sees non-degenerate input
-    r = np.random.default_rng(0)
-    vol[:, ::7, ::11] += r.standard_normal(
-        (nz, -(-ny // 7), -(-nx // 11))
-    ).astype(np.float32) * 1e-3
-    return vol
+    """The reference CI input: pure sinusoid x-slices, NO added noise
+    (Test_With_Generated_Input.cpp:45-51) — quality and vs_baseline are
+    measured on the same data the published baselines used."""
+    from cvxcompress_tpu.utils import volumes
+
+    return volumes.sinusoid_volume(nz, ny, nx, periods=periods)
 
 
 def fetch1(x):
@@ -114,10 +117,11 @@ def bench_device_compress(vol, block, scale, rtt, iters=6):
             return sub
     else:
         def run(v):
-            chunks, desc, cb, sizes, raw, counts, mf = jcodec._encode_device(
+            (chunks, desc, cb, sizes, raw, counts, mf,
+             rowmap) = jcodec._encode_device(
                 v, mf0, jnp.float32(scale), False, block, chunk
             )
-            return chunks, desc, cb, mf, counts
+            return chunks, desc, cb, mf, counts, rowmap
 
         out = run(vd[0])
         acount, lcount = (int(x) for x in np.asarray(out[4]))
@@ -126,9 +130,10 @@ def bench_device_compress(vol, block, scale, rtt, iters=6):
         skip = acount == lcount
 
         def full(v):
-            chunks, desc, cb, mf, counts = run(v)
+            chunks, desc, cb, mf, counts, rowmap = run(v)
             sub, aidx, ab = rle_device.pack_active(
-                chunks, desc, cb, acap, lcap, skip_squeeze=skip
+                chunks, desc, cb, acap, lcap, skip_squeeze=skip,
+                row_of_chunk=rowmap,
             )
             return sub
 
@@ -145,36 +150,46 @@ def bench_device_compress(vol, block, scale, rtt, iters=6):
 
 
 def bench_device_decompress(data, vol_shape, rtt, iters=6):
-    """Per-volume device time of decompress (sparse expand + inverse)."""
+    """Per-volume device time of the FULL decompress pipeline.
+
+    Entropy parse (ops.entropy_decode) + scatter-expand + inverse wavelet,
+    all on device — nothing of the entropy stage runs on host.  Also
+    returns the host-side segment-planning time per volume.
+    """
     import jax
     import jax.numpy as jnp
 
-    from cvxcompress_tpu import container as ctn
     from cvxcompress_tpu.ops import codec as jcodec
-    from cvxcompress_tpu.ops import rle_device
+    from cvxcompress_tpu.ops import entropy_decode as ed
 
-    hdr, blkoffs, blkmf, pbase = ctn.unpack(data)
+    t0 = time.perf_counter()
+    p = ed.plan(data)
+    t_plan = time.perf_counter() - t0
+    assert p is not None and not p["raw_ids"].size
+    hdr = p["hdr"]
     block = (hdr.bx, hdr.by, hdr.bz)
-    cells = hdr.bx * hdr.by * hdr.bz
-    chunk = rle_device.chunk_cells(cells)
-    coeffs = jcodec._decode_payloads_host(data, hdr, blkoffs, blkmf, pbase)
-    pay, inv, _ = jcodec.sparse_chunks(coeffs, cells, chunk)
-    payd = [jax.device_put(pay), jax.device_put(pay * 1.0000001)]
-    invd = jnp.asarray(inv)
+    segs = [jax.device_put(p["segs"]), jax.device_put(p["segs"].copy())]
+    sblk = jnp.asarray(p["sub_block"])
+    sfst = jnp.asarray(p["sub_reset"])
+    ssf = jnp.asarray(p["scalefac"])
+    nseg = p["segs"].shape[0]
 
-    def run(p):
-        return jcodec._decompress_sparse(p, invd, vol_shape, block, chunk)
+    def run(s):
+        plane = ed.decode_to_volume(
+            s, sblk, sfst, ssf, vol_shape, block, nseg
+        )
+        return jcodec._inverse_volume_plane(plane, vol_shape, block)
 
-    fetch1(run(payd[0]))
+    fetch1(run(segs[0]))
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
         last = None
         for j in range(iters):
-            last = run(payd[j % 2])
+            last = run(segs[j % 2])
         fetch1(last)
         best = min(best, time.perf_counter() - t0)
-    return max((best - rtt) / iters, 1e-9)
+    return max((best - rtt) / iters, 1e-9), t_plan
 
 
 def bench_host_stream(vol, block, scale, n_vols=4, workers=6):
@@ -264,17 +279,29 @@ def main():
         ("A_ref_ci_32c", shape_a, block_a),
         ("B_north_star_128c", shape_b, block_b),
     ):
+        from cvxcompress_tpu.ops import codec as jcodec
+
         vol = make_volume(*shape)
         ncells = vol.size
         data, ratio, err, snr = bench_quality(vol, block, scale)
+        host_asm = jcodec.last_host_assembly_s
         log(f"[{name}] ratio={ratio:.0f} err={err:.2e} snr={snr:.1f}dB")
+        if name == "A_ref_ci_32c" and not args.quick:
+            # the reference CI bars, asserted on the reference CI input
+            # (Test_With_Generated_Input.cpp:121-122); --quick shrinks the
+            # volume, which legitimately shifts quality off the bars
+            assert err < 2e-4 and snr > 75.0, (
+                f"quality bars FAILED: err={err:.3e} snr={snr:.1f}"
+            )
 
         t_c = bench_device_compress(vol, block, scale, rtt, iters)
-        t_d = bench_device_decompress(data, shape, rtt, iters)
+        t_d, t_plan = bench_device_decompress(data, shape, rtt, iters)
         dev_c = ncells / t_c / 1e6
         dev_d = ncells / t_d / 1e6
-        log(f"[{name}] device compress {t_c*1e3:.2f} ms = {dev_c:.0f} MC/s; "
-            f"decompress {t_d*1e3:.2f} ms = {dev_d:.0f} MC/s")
+        log(f"[{name}] device compress {t_c*1e3:.2f} ms = {dev_c:.0f} MC/s "
+            f"(+{host_asm*1e3:.1f} ms host assembly); "
+            f"decompress {t_d*1e3:.2f} ms = {dev_d:.0f} MC/s "
+            f"(+{t_plan*1e3:.1f} ms host plan; entropy decode ON device)")
 
         t_h, _ = bench_host_stream(vol, block, scale, n_vols=n_stream)
         host_c = ncells / t_h / 1e6
@@ -293,6 +320,8 @@ def main():
             "snr_db": round(snr, 1),
             "device_compress_mcells_s": round(dev_c, 1),
             "device_decompress_mcells_s": round(dev_d, 1),
+            "host_assembly_ms": round(host_asm * 1e3, 2),
+            "host_plan_ms": round(t_plan * 1e3, 2),
             "host_pipelined_compress_mcells_s": round(host_c, 1),
             "snapshot_append_mcells_s": round(snap_a, 1),
             "snapshot_reconstruct_mcells_s": round(snap_p, 1),

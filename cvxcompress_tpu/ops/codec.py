@@ -30,6 +30,11 @@ from . import quant, rle_device, wavelet
 
 F32 = np.float32
 
+# host-side cost of the most recent compress() call (seconds): the ragged
+# payload concat + container packing.  Populated for observability/bench
+# reporting (the device pipeline time is measured separately).
+last_host_assembly_s = 0.0
+
 
 @functools.partial(jax.jit, static_argnames=("use_local", "block", "chunk"))
 def _stage_w(vol, glob_mulfac, scale, use_local, block, chunk):
@@ -104,15 +109,84 @@ def use_pallas():
     return _jax.default_backend() == "tpu"
 
 
+@functools.lru_cache(maxsize=None)
+def volume_rowmap(vol_shape, block):
+    """chunk id -> row of the flat volume-order coefficient view.
+
+    For bx >= 128 a chunk (128 block-major cells) is one contiguous x-run
+    of the padded volume, so (nzp*nyp*nbxp, 128) rows of the volume plane
+    ARE chunk rows, just permuted; this closure is that permutation
+    (elementwise integer math, works on jnp and numpy indices alike).
+    """
+    nz, ny, nx = vol_shape
+    bx, by, bz = block
+    nbz, nby, nbx = -(-nz // bz), -(-ny // by), -(-nx // bx)
+    xpb = bx // 128
+    nbxp = nbx * xpb
+    cpb = by * bz * xpb
+    nyp = nby * by
+    q = by * xpb
+
+    def f(c):
+        b = c // cpb
+        w = c % cpb
+        bzi = b // (nby * nbx)
+        byi = (b // nbx) % nby
+        bxi = b % nbx
+        zl = w // q
+        r = w % q
+        yl = r // xpb
+        xp = r % xpb
+        return ((bzi * bz + zl) * nyp + byi * by + yl) * nbxp \
+            + bxi * xpb + xp
+
+    return f
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _stage_w_volume(vol, glob_mulfac, block):
+    """Wavelet stage, volume order (bx>=128 fast path, global RMS).
+
+    Emits the SCALED coefficient plane as flat (nzp*nyp*nbxp, 128) chunk-
+    width rows — the tokenize kernel reads it via BlockSpec index math and
+    pack row-gathers it through volume_rowmap; no block-major relayout
+    exists anywhere in this compress path.
+    """
+    fvv = wavelet.forward_3d_volume(vol, vol.shape, block)
+    fv = (fvv * glob_mulfac).astype(jnp.float32)
+    return fv.reshape(-1, 128)
+
+
+def _use_volume_path(vol_shape, block, use_local, chunk):
+    from . import tokenize_pallas as tp
+
+    return (
+        use_pallas()
+        and not use_local  # local-RMS keeps the block-major reduction order
+        and chunk == tp.LANES
+        and tp.volume_path_ok(vol_shape, block)
+    )
+
+
 def _encode_device(vol_dev, glob_mulfac, scale, use_local, block, chunk):
     """W + T stages with the best available tokenizer.
 
-    Returns (coeff_chunks, desc, chunk_bytes, sizes, raw, counts, mf).
+    Returns (coeff_chunks, desc, chunk_bytes, sizes, raw, counts, mf,
+    rowmap) — rowmap is None unless coeff_chunks are volume-order rows.
     """
     from . import tokenize_pallas as tp
 
     bx, by, bz = block
     cells = bx * by * bz
+    if _use_volume_path(vol_dev.shape, block, use_local, chunk):
+        chunks = _stage_w_volume(vol_dev, glob_mulfac, block)
+        desc, cb, sizes, raw, counts = tp.tokenize_desc_volume_fast(
+            chunks, tuple(vol_dev.shape), block,
+        )
+        n = sizes.shape[0]
+        mf = jnp.broadcast_to(glob_mulfac, (n,)).astype(jnp.float32)
+        return (chunks, desc, cb, sizes, raw, counts, mf,
+                volume_rowmap(tuple(vol_dev.shape), block))
     if use_pallas() and chunk == tp.LANES:
         fvp, mf = _stage_w_pallas(
             vol_dev, glob_mulfac, scale, use_local, block, chunk
@@ -131,7 +205,7 @@ def _encode_device(vol_dev, glob_mulfac, scale, use_local, block, chunk):
         desc, cb, sizes, raw, counts = rle_device.tokenize_desc(
             rows, n, chunk
         )
-    return chunks, desc, cb, sizes, raw, counts, mf
+    return chunks, desc, cb, sizes, raw, counts, mf, None
 
 
 @jax.jit
@@ -145,6 +219,12 @@ def _raw_chunks(vol, block, chunk):
     coeffs = wavelet.forward_3d_blocked(vol, vol.shape, block)
     n = coeffs.shape[0]
     return coeffs.reshape(n, -1).reshape(-1, chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _raw_chunks_volume(vol, block):
+    """Unscaled volume-order coefficient rows (volume fast path twin)."""
+    return wavelet.forward_3d_volume(vol, vol.shape, block).reshape(-1, 128)
 
 
 def compress(vol, scale, block=(32, 32, 32), use_local_rms=False,
@@ -196,8 +276,9 @@ def compress(vol, scale, block=(32, 32, 32), use_local_rms=False,
         subrows, aidx, abytes = rle_device.pack_compacted(
             fvc, dscc, meta, counts[0], acap, lcap
         )
+        rowmap = None
     else:
-        coeff_chunks, desc, chunk_bytes, sizes, raw, counts, mf = (
+        coeff_chunks, desc, chunk_bytes, sizes, raw, counts, mf, rowmap = (
             _encode_device(
                 jnp.asarray(vol), jnp.float32(glob_mulfac),
                 jnp.float32(scale), use_local_rms, (bx, by, bz), chunk,
@@ -208,7 +289,7 @@ def compress(vol, scale, block=(32, 32, 32), use_local_rms=False,
         lcap = rle_device.bucket(lcount)
         subrows, aidx, abytes = rle_device.pack_active(
             coeff_chunks, desc, chunk_bytes, acap, lcap,
-            skip_squeeze=(acount == lcount),
+            skip_squeeze=(acount == lcount), row_of_chunk=rowmap,
         )
     subrows_h = np.asarray(subrows)
     sizes_h = np.asarray(sizes)
@@ -219,22 +300,32 @@ def compress(vol, scale, block=(32, 32, 32), use_local_rms=False,
         # raw blocks store the UNSCALED coefficients (CvxCompress.cpp:359);
         # the hot path keeps only scaled ones, so recompute (rare path)
         rblk = np.nonzero(raw_h)[0].astype(np.int32)
-        uchunks = _raw_chunks(jnp.asarray(vol), (bx, by, bz), chunk)
         ncpb = cells // chunk
         ridx = (rblk[:, None] * ncpb + np.arange(ncpb, dtype=np.int32)).ravel()
+        if not fused and rowmap is not None:
+            uchunks = _raw_chunks_volume(jnp.asarray(vol), (bx, by, bz))
+            ridx = rowmap(ridx.astype(np.int64))
+        else:
+            uchunks = _raw_chunks(jnp.asarray(vol), (bx, by, bz), chunk)
         raw_bytes_h = (
             np.asarray(_gather_rows(uchunks, jnp.asarray(ridx)))
             .reshape(rblk.size, cells)
             .view(np.uint8)
         )
 
+    import time as _time
+
+    global last_host_assembly_s
+    aidx_h = np.asarray(aidx)  # d2h fetches (tunnel RTT), not host work
+    abytes_h = np.asarray(abytes)
+    t0 = _time.perf_counter()
     assemble = (
         rle_device.assemble_payload_filtered
         if fused
         else rle_device.assemble_payload_sparse
     )
     stream, _total = assemble(
-        np.asarray(subrows_h), np.asarray(aidx), np.asarray(abytes), acount,
+        subrows_h, aidx_h, abytes_h, acount,
         sizes_h, raw_h, raw_bytes_h, cells, chunk,
     )
 
@@ -243,6 +334,7 @@ def compress(vol, scale, block=(32, 32, 32), use_local_rms=False,
         hdr, sizes_h, raw_h, stream,
         np.asarray(mf) if use_local_rms else None,
     )
+    last_host_assembly_s = _time.perf_counter() - t0
     ratio = (nx * ny * nz * 4) / data.size
     return data, ratio
 
@@ -294,13 +386,11 @@ def _sparse_to_volume(payload_rows, invmap, vol_shape, block, chunk):
     padded = jnp.concatenate(
         [payload_rows, jnp.zeros((1, chunk), jnp.float32)], axis=0
     )
-    sub = padded.reshape((acap + 1) * rpc, w)
     if bx > 1 and w == bx:
-        # x-inverse on compressed-size rows (pad row stays zero: linear)
-        sub = jnp.einsum(
-            "rx,Xx->rX", sub, wavelet._f32(wavelet.inverse_matrix(bx)),
-            precision=hi, preferred_element_type=jnp.float32,
-        )
+        # x-inverse on compressed-size rows (pad row stays zero: linear),
+        # applied at full chunk width via the block-diagonal operator
+        padded = wavelet.apply_x_inverse_rows(padded, bx)
+    sub = padded.reshape((acap + 1) * rpc, w)
 
     # sub-row gather indices, built in block-major order (trivial) and
     # permuted to volume order as an INDEX transpose (bytes / w of a data
@@ -402,16 +492,67 @@ def sparse_chunks(coeffs, cells, chunk):
     return payload, invmap, acap
 
 
-def decompress(data):
-    """Decompress a container: host entropy decode + device inverse wavelet.
+@functools.partial(jax.jit, static_argnames=("vol_shape", "block"))
+def _inverse_volume_plane(plane, vol_shape, block):
+    """Padded volume-order coefficient plane -> volume (x, y, z inverse)."""
+    plane = wavelet.apply_x_inverse_rows(plane, block[0])
+    return wavelet.inverse_3d_volume(plane, vol_shape, block)
 
-    The container is structurally validated first — the native decoder
-    trusts the offset table, so corrupt/truncated input must be rejected
-    before it reaches C++ (utils.io.validate checks offset reach).
+
+def decompress_device(data):
+    """Fully device-side decompress: entropy parse + inverse on the chip.
+
+    Device-complete counterpart of the reference's in-engine decompress
+    (CvxCompress.cpp:528-568): the grammar parse (ops.entropy_decode), the
+    scatter-expand, and the inverse wavelet all run on device; the host
+    only parses the container and memcpys the payload into segment rows
+    (∝ compressed size).  Returns None when the container's spans are
+    degenerate (host path decides then).
+    """
+    from . import entropy_decode as ed
+
+    p = ed.plan(data)
+    if p is None:
+        return None
+    hdr = p["hdr"]
+    vol_shape = (hdr.nz, hdr.ny, hdr.nx)
+    block = (hdr.bx, hdr.by, hdr.bz)
+    plane = ed.decode_to_volume(
+        jnp.asarray(p["segs"]), jnp.asarray(p["sub_block"]),
+        jnp.asarray(p["sub_reset"]), jnp.asarray(p["scalefac"]),
+        vol_shape, block, p["segs"].shape[0],
+    )
+    if p["raw_ids"].size:
+        plane = ed.overlay_raw(
+            plane, jnp.asarray(p["raw_rows"]), jnp.asarray(p["raw_ids"]),
+            vol_shape, block,
+        )
+    return np.asarray(_inverse_volume_plane(plane, vol_shape, block))
+
+
+def decompress(data, engine="auto"):
+    """Decompress a container to a (nz, ny, nx) float32 volume.
+
+    engine:
+      "auto"   — device-complete decode on TPU backends, host entropy
+                 decode + device inverse elsewhere (CPU jit of the parallel
+                 parse is correct but the native host decoder is faster)
+      "device" — force the device entropy decoder (ops.entropy_decode)
+      "host"   — force host entropy decode (native C++ / oracle)
+
+    The container is structurally validated first — the decoders bound
+    every read by the payload extent, and validate() rejects structural
+    damage before any work is dispatched.
     """
     from ..utils import io as _io
 
     _io.validate(data)
+    if engine == "device" or (engine == "auto" and use_pallas()):
+        out = decompress_device(data)
+        if out is not None:
+            return out
+        if engine == "device":
+            raise ValueError("container not decodable on device")
     hdr, blkoffs, blkmulfac, payload_base = ctn.unpack(data)
     block = (hdr.bx, hdr.by, hdr.bz)
     cells = hdr.bx * hdr.by * hdr.bz

@@ -331,10 +331,13 @@ def _fit(a, cap, fill=0):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("acap", "lcap", "use_pallas_kernel", "skip_squeeze"),
+    static_argnames=(
+        "acap", "lcap", "use_pallas_kernel", "skip_squeeze", "row_of_chunk"
+    ),
 )
 def pack_active(fv_chunks, desc, chunk_bytes, acap, lcap,
-                use_pallas_kernel=None, skip_squeeze=False):
+                use_pallas_kernel=None, skip_squeeze=False,
+                row_of_chunk=None):
     """PASS 2: row-gather active chunks, pack their payload bytes.
 
     fv_chunks (nchunks, chunk) f32: PRE-SCALED coefficients in chunk
@@ -343,8 +346,12 @@ def pack_active(fv_chunks, desc, chunk_bytes, acap, lcap,
     the active-chunk / live-subrow counts (host-chosen).  Returns
     (subrows (lcap, SUBROW) u8, aidx, abytes); live subrows hold the
     per-chunk payloads, front-packed, in block order.
+
+    `row_of_chunk` (optional, elementwise): maps chunk ids to rows of
+    `fv_chunks` when the coefficients live in a different layout (the
+    bx>=128 volume-order plane) — the gather itself stays row-granular.
     """
-    nchunks, chunk = fv_chunks.shape
+    nchunks, chunk = desc.shape
     spq = 5 * chunk // SUBROW  # subrows per chunk staging row
 
     # -- active-chunk scalar compaction (index + bytes stacked into one
@@ -367,7 +374,8 @@ def pack_active(fv_chunks, desc, chunk_bytes, acap, lcap,
     )
 
     # -- row-gather active chunks (row-granular: fast on TPU)
-    fvg = jnp.take(fv_chunks, aidx, axis=0)
+    arows = row_of_chunk(aidx) if row_of_chunk is not None else aidx
+    fvg = jnp.take(fv_chunks, arows, axis=0)
     dsc = jnp.take(desc, aidx, axis=0)
 
     # -- rebuild token bytes + front-pack, Pallas kernel when available

@@ -325,6 +325,134 @@ def pad_rows(nchunks):
     return -(-nchunks // TR) * TR + 8
 
 
+# ---------------------------------------------------------------------------
+# Volume-input variant (bx >= 128): the kernel reads the VOLUME-ORDER
+# coefficient plane directly via BlockSpec index arithmetic — chunk rows
+# for bx >= 128 are contiguous x-runs, so a (zg, by, bx) slab of the
+# padded volume IS a tile of TR consecutive block-major chunks.  The
+# block-major relayout never happens (the z-einsum permute + its ~2 ms
+# cost at 128^3 are gone); desc output stays chunk-major as before.
+# ---------------------------------------------------------------------------
+
+
+def volume_path_ok(vol_shape3, block):
+    """Conditions for the direct-volume tokenize tiling."""
+    bx, by, bz = block
+    if bx < 128 or bx * by * bz < TR * LANES:
+        return False
+    xpb = bx // LANES
+    q = by * xpb  # chunks per (block, zl) layer
+    if TR % q:
+        return False
+    zg = TR // q
+    return bz % zg == 0
+
+
+def _kernel_vol(fv_ref, nxt_ref, desc_ref, carry_ref, *, ncpb):
+    """Volume-slab tile -> chunk-major descriptors (shared _tile_desc)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        carry_ref[0] = -1
+
+    fv = fv_ref[:].reshape(TR, LANES)  # (zg, by, bx) slab == TR chunk rows
+    desc, _cost, carry_out = _tile_desc(
+        fv, nxt_ref[0], carry_ref[0], i, ncpb
+    )
+    carry_ref[0] = carry_out
+    desc_ref[:] = desc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("vol_shape3", "block", "interpret")
+)
+def tokenize_tiles_volume(fvv, vol_shape3, block, interpret=False):
+    """fvv (nzp*nyp, nxp) scaled VOLUME-ORDER coeffs -> desc (nchunks, 128).
+
+    Bit-identical descriptors to tokenize_tiles on the block-major layout
+    (same kernel math; only the input BlockSpecs differ).
+    """
+    nz, ny, nx = vol_shape3
+    bx, by, bz = block
+    nbz, nby, nbx = -(-nz // bz), -(-ny // by), -(-nx // bx)
+    nzp, nyp, nxp = nbz * bz, nby * by, nbx * bx
+    xpb = bx // LANES
+    cpb = by * bz * xpb  # chunks per block
+    ncpb = cpb  # kernel's per-block chunk count (run resets)
+    zg = TR // (by * xpb)  # z-layers per tile
+    tpb = cpb // TR  # tiles per block
+    nchunks = nbz * nby * nbx * cpb
+    ntiles = nchunks // TR
+    v3 = fvv.reshape(nzp, nyp, nxp)
+
+    def in_map(t):
+        b = t // tpb
+        w = t % tpb
+        bzi = b // (nby * nbx)
+        byi = (b // nbx) % nby
+        bxi = b % nbx
+        return (bzi * (bz // zg) + w, byi, bxi)
+
+    def look_map(t):
+        # first 8 chunks of the NEXT tile (only cell [0,0] is consumed;
+        # at the last tile, clamp — the final cell is a block end, where
+        # run_end is forced regardless of the lookahead value)
+        t1 = jnp.minimum(t + 1, ntiles - 1)
+        b = t1 // tpb
+        w = t1 % tpb
+        bzi = b // (nby * nbx)
+        byi = (b // nbx) % nby
+        bxi = b % nbx
+        return (bzi * bz + w * zg, (byi * by) // 8, bxi * xpb)
+
+    desc = pl.pallas_call(
+        functools.partial(_kernel_vol, ncpb=ncpb),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((zg, by, bx), in_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, LANES), look_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TR, LANES), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nchunks, LANES), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=interpret,
+    )(v3, v3)
+    return desc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("vol_shape3", "block", "interpret")
+)
+def tokenize_desc_volume_fast(fvv, vol_shape3, block, interpret=False):
+    """Volume-input drop-in for tokenize_desc_fast.
+
+    Returns (desc, chunk_bytes, sizes, raw, counts) identical to the
+    block-major path's.
+    """
+    from . import rle_device
+
+    bx, by, bz = block
+    cells = bx * by * bz
+    ncpb_ = cells // LANES
+    desc = tokenize_tiles_volume(fvv, vol_shape3, block, interpret=interpret)
+    nchunks = desc.shape[0]
+    n = nchunks // ncpb_
+    chunk_bytes = (desc & 7).sum(-1).reshape(n, ncpb_)
+    sizes0 = chunk_bytes.sum(-1)
+    raw = sizes0 > 4 * cells
+    sizes = jnp.where(raw, I32(4 * cells), sizes0)
+    chunk_bytes = jnp.where(raw[:, None], I32(0), chunk_bytes).reshape(nchunks)
+    active = chunk_bytes > 0
+    acount = active.sum(dtype=I32)
+    lcount = (
+        (chunk_bytes + (rle_device.SUBROW - 1)) // rle_device.SUBROW
+    ).sum(dtype=I32)
+    counts = jnp.stack([acount, lcount])
+    return desc, chunk_bytes, sizes, raw, counts
+
+
 @functools.partial(
     jax.jit, static_argnames=("n", "ncpb", "chunk", "interpret")
 )

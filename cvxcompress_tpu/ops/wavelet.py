@@ -188,32 +188,111 @@ def forward_3d_blocked(vol, vol_shape3, block):
     return a.reshape(nbz * nby * nbx, bz, by, bx)
 
 
-def inverse_3d_volume(rows, vol_shape3, block):
-    """Inverse transform of VOLUME-ORDER coefficient rows (x already done).
+@functools.lru_cache(maxsize=None)
+def _blockdiag(dim, width, inverse):
+    """(width, width) block-diagonal operator (float32 ndarray): width//dim
+    copies of the dim-axis operator.  Lets the x contraction run at FULL
+    lane width (K=N=width) instead of the lane-padded (.., dim)-minor view
+    — the zero blocks cost FLOPs but the MXU utilization win is ~4x at
+    dim=32 (measured; see PERF_NOTES.md round 2).
+    """
+    m = inverse_matrix(dim) if inverse else forward_matrix(dim)
+    k = width // dim
+    bd = np.zeros((width, width), dtype=np.float64)
+    for i in range(k):
+        bd[i * dim : (i + 1) * dim, i * dim : (i + 1) * dim] = m
+    return np.asarray(bd, dtype=np.float32)
 
-    `rows` is (nzp*nyp, nxp) float32 in padded volume order whose x-axis
-    inverse has ALREADY been applied (the caller runs the x contraction on
-    the compressed-size payload before expanding — linearity lets the
-    per-row operator commute with the row gather).  Applies the y and z
-    contractions in volume order — no block-major permutation anywhere —
-    and clips the padding.  Same operators, same x->y->z order as
-    inverse_3d (Wavelet_Transform_Slow.cpp:296-300).
+
+def apply_x_rows(rows, bx, inverse=True):
+    """x-axis transform on (N, width) rows; width must be a multiple of
+    max(bx, 128) or of bx when bx >= 128.
+
+    Rows are viewed as (N*width/w, w) with w = max(bx, 128) — a free
+    row-major split keeping the matmul at full 128-lane tiles — and hit
+    with the block-diagonal operator.
+    """
+    if bx <= 1:
+        return rows
+    width = rows.shape[-1]
+    w = max(bx, 128) if width % max(bx, 128) == 0 else bx
+    r2 = rows.reshape(-1, w)
+    out = jnp.einsum(
+        "rc,Cc->rC", r2, jnp.asarray(_blockdiag(bx, w, inverse)),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(rows.shape)
+
+
+def apply_x_inverse_rows(rows, bx):
+    return apply_x_rows(rows, bx, inverse=True)
+
+
+def forward_3d_volume(vol, vol_shape3, block):
+    """Forward transform in VOLUME order: padded (nzp*nyp, nxp) plane.
+
+    No block-major permutation anywhere — x (block-diagonal, full lane
+    width), then y, then z contractions applied in place (the reference's
+    axis order, Wavelet_Transform_Slow.cpp:275-279).  The bx>=128 tokenize
+    path consumes this plane directly via BlockSpec index arithmetic.
     """
     nz, ny, nx = vol_shape3
     bx, by, bz = block
     nbz, nby, nbx = -(-nz // bz), -(-ny // by), -(-nx // bx)
     nzp, nyp, nxp = nbz * bz, nby * by, nbx * bx
     hi = jax.lax.Precision.HIGHEST
-    a = rows
+    a = jnp.pad(vol, ((0, nzp - nz), (0, nyp - ny), (0, nxp - nx)))
+    a = a.reshape(nzp * nyp, nxp)
+    a = apply_x_rows(a, bx, inverse=False)
     if by > 1:
         a = a.reshape(nzp, nby, by, nxp)
-        a = jnp.einsum("zgyx,Yy->zgYx", a, _f32(inverse_matrix(by)),
+        a = jnp.einsum("zgyx,Yy->zgYx", a, _f32(forward_matrix(by)),
                        precision=hi, preferred_element_type=jnp.float32)
     if bz > 1:
         a = a.reshape(nbz, bz, nyp * nxp)
+        a = jnp.einsum("hzr,Zz->hZr", a, _f32(forward_matrix(bz)),
+                       precision=hi, preferred_element_type=jnp.float32)
+    return a.reshape(nzp * nyp, nxp)
+
+
+def padded_nbx(nbx, bx):
+    """x-block count rounded up so the padded x extent is 128-lane aligned.
+
+    Decode staging uses this so every x contraction runs on full
+    (8, 128)-tiled operands (bx >= 128 is already aligned).
+    """
+    k = max(1, 128 // bx) if bx < 128 else 1
+    return -(-nbx // k) * k
+
+
+def inverse_3d_volume(rows, vol_shape3, block):
+    """Inverse transform of VOLUME-ORDER coefficient rows (x already done).
+
+    `rows` is (nzp*nyp, nxp2) float32 in padded volume order — nxp2 may
+    carry extra all-zero x-blocks for lane alignment (padded_nbx) — whose
+    x-axis inverse has ALREADY been applied (linearity lets the per-row
+    operator commute with the expand; zero padding stays zero).  Applies
+    the y and z contractions in volume order — no block-major permutation
+    anywhere — and clips the padding.  Same operators, same x->y->z order
+    as inverse_3d (Wavelet_Transform_Slow.cpp:296-300).
+    """
+    nz, ny, nx = vol_shape3
+    bx, by, bz = block
+    nbz, nby = -(-nz // bz), -(-ny // by)
+    nzp, nyp = nbz * bz, nby * by
+    nxp2 = rows.shape[-1]
+    hi = jax.lax.Precision.HIGHEST
+    a = rows
+    if by > 1:
+        a = a.reshape(nzp, nby, by, nxp2)
+        a = jnp.einsum("zgyx,Yy->zgYx", a, _f32(inverse_matrix(by)),
+                       precision=hi, preferred_element_type=jnp.float32)
+    if bz > 1:
+        a = a.reshape(nbz, bz, nyp * nxp2)
         a = jnp.einsum("hzr,Zz->hZr", a, _f32(inverse_matrix(bz)),
                        precision=hi, preferred_element_type=jnp.float32)
-    return a.reshape(nzp, nyp, nxp)[:nz, :ny, :nx]
+    return a.reshape(nzp, nyp, nxp2)[:nz, :ny, :nx]
 
 
 def flops_per_cell(block):

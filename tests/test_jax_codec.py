@@ -180,6 +180,76 @@ def test_extreme_block_shapes(vol_shape, block):
     assert err2 < 2e-3
 
 
+def test_volume_rowmap_is_block_layout(rng):
+    """volume_rowmap is exactly the to_blocks chunk permutation (bx>=128)."""
+    from cvxcompress_tpu.ops import blocks as blkops
+
+    shape, block = (24, 40, 256), (128, 8, 8)
+    vol = rng.standard_normal(shape).astype(np.float32)
+    nbz, nby, nbx = blkops.grid_shape(shape, block)
+    pad = np.zeros((nbz * 8, nby * 8, nbx * 128), np.float32)
+    pad[:24, :40, :256] = vol
+    flat = pad.reshape(-1, 128)
+    bm = blkops.to_blocks_np(vol, block).reshape(-1, 128)
+    rowmap = jcodec.volume_rowmap(shape, block)
+    c = np.arange(bm.shape[0], dtype=np.int64)
+    np.testing.assert_array_equal(flat[rowmap(c)], bm)
+
+
+def test_volume_tokenize_matches_blockmajor_interpret(rng):
+    """The direct-volume tokenize tiling produces bit-identical descriptors
+    to the block-major kernel on the SAME values (interpret mode)."""
+    from cvxcompress_tpu.ops import tokenize_pallas as tp
+
+    shape, block = (128, 128, 256), (128, 128, 128)
+    assert tp.volume_path_ok(shape, block)
+    nchunks = (shape[0] * shape[1] * shape[2]) // 128
+    fvv_flat = (rng.standard_normal((nchunks, 128)) * 50).astype(np.float32)
+    fvv_flat[rng.random((nchunks, 128)) < 0.85] = 0.0
+
+    rowmap = jcodec.volume_rowmap(shape, block)
+    c = np.arange(nchunks, dtype=np.int64)
+    fvp = np.zeros((tp.pad_rows(nchunks), 128), np.float32)
+    fvp[:nchunks] = fvv_flat[rowmap(c)]  # same VALUES, block-major order
+
+    import jax.numpy as jnp
+
+    d_v = tp.tokenize_desc_volume_fast(
+        jnp.asarray(fvv_flat), shape, block, interpret=True
+    )
+    d_b = tp.tokenize_desc_fast(
+        jnp.asarray(fvp), 2, nchunks // 2, 128, interpret=True
+    )
+    for a, b, name in zip(d_v, d_b, ("desc", "cb", "sizes", "raw", "counts")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
+
+
+def test_volume_compress_path_container_parity(monkeypatch, rng):
+    """compress() through the bx>=128 volume fast path emits the same
+    container as the standard path (interpret-mode kernels on CPU)."""
+    import jax.experimental.pallas as pl
+
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+
+    shape, block = (128, 128, 256), (128, 128, 128)
+    vol = make_sinusoid_volume(*shape, periods=3)
+    ref, _ = jcodec.compress(vol, 1e-2, block=block)  # standard CPU path
+
+    monkeypatch.setattr(jcodec, "use_pallas", lambda: True)
+    assert jcodec._use_volume_path(shape, block, False, 128)
+    got, _ = jcodec.compress(vol, 1e-2, block=block)
+    # payload layout + sizes identical; values may differ at quantization
+    # boundaries (einsum-shape 1ulp) — require byte equality here since the
+    # sinusoid sits far from truncation edges
+    np.testing.assert_array_equal(ref, got)
+
+
 def test_fused_tokenize_compact_interpret(rng):
     """Fused tokenize+compact kernel vs dense kernel path (interpret mode).
 

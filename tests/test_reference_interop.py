@@ -140,6 +140,17 @@ def test_reference_to_ours(ref_lib):
     assert rel < 1e-4, rel
 
 
+def test_reference_container_device_entropy_decode(ref_lib):
+    """The DEVICE entropy decoder parses a container written by the actual
+    reference binary (thread-completion payload order, CvxCompress.cpp:370)
+    bit-exactly against the host decoders."""
+    from test_entropy_decode import assert_bit_exact
+
+    vol = make_radial_volume(nz=48, ny=64, nx=96)
+    data, _ = ref_compress(ref_lib, vol, 1e-2, (32, 32, 32))
+    assert_bit_exact(data)
+
+
 def test_compressed_size_parity(ref_lib):
     vol = make_radial_volume(nz=48, ny=64, nx=96)
     ref_data, _ = ref_compress(ref_lib, vol, 1e-2, (32, 32, 32))
