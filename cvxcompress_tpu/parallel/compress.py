@@ -87,21 +87,21 @@ def _stage1(mesh, use_local, chunk):
             fvp = jnp.concatenate(
                 [fvc, jnp.zeros((pad, chunk), jnp.float32)], axis=0
             )
-            desc, chunk_bytes, sizes, raw, _counts = tp.tokenize_desc_fast(
+            desc, chunk_bytes, sizes, raw, counts = tp.tokenize_desc_fast(
                 fvp, n, cells // chunk, chunk
             )
         else:
-            desc, chunk_bytes, sizes, raw, _counts = rle_device.tokenize_desc(
+            desc, chunk_bytes, sizes, raw, counts = rle_device.tokenize_desc(
                 rle_device.as_rows(fv2d), n, chunk
             )
         # scaled chunks feed pack; unscaled chunks feed raw-block payloads
         return (fv2d.reshape(nch, chunk), coeffs2d.reshape(nch, chunk),
-                desc, chunk_bytes, sizes, raw, mf)
+                desc, chunk_bytes, sizes, raw, mf, counts[None])
 
     sm = shard_map(
         run, mesh=mesh,
         in_specs=(P(meshlib.BLOCK_AXIS, None, None, None), P(), P()),
-        out_specs=(spec_b,) * 7,
+        out_specs=(spec_b,) * 7 + (P(meshlib.BLOCK_AXIS, None),),
         check_vma=False,  # pallas_call outputs carry no vma info
     )
     return jax.jit(sm)
@@ -113,10 +113,11 @@ def _stage2(mesh, chunk, acap, lcap):
     pallas_ok = meshlib.is_tpu_mesh(mesh)
 
     def run(fvchunks, desc, chunk_bytes):
-        return rle_device.pack_active(
+        subrows, aidx, abytes = rle_device.pack_active(
             fvchunks, desc, chunk_bytes, acap, lcap,
             use_pallas_kernel=pallas_ok,
-        )[0][None]
+        )
+        return subrows[None], aidx[None], abytes[None]
 
     sm = shard_map(
         run, mesh=mesh,
@@ -125,7 +126,11 @@ def _stage2(mesh, chunk, acap, lcap):
             P(meshlib.BLOCK_AXIS, None),
             P(meshlib.BLOCK_AXIS),
         ),
-        out_specs=P(meshlib.BLOCK_AXIS, None, None),
+        out_specs=(
+            P(meshlib.BLOCK_AXIS, None, None),
+            P(meshlib.BLOCK_AXIS, None),
+            P(meshlib.BLOCK_AXIS, None),
+        ),
         check_vma=False,  # pallas_call outputs carry no vma info
     )
     return jax.jit(sm)
@@ -159,37 +164,49 @@ def compress(vol, scale, block=(32, 32, 32), use_local_rms=False, mesh=None):
     chunk = rle_device.chunk_cells(cells)
     ncpb = cells // chunk
 
-    fvchunks, cchunks, desc, chunk_bytes, sizes, raw, mf = _stage1(
+    fvchunks, cchunks, desc, chunk_bytes, sizes, raw, mf, counts = _stage1(
         mesh, use_local_rms, chunk
     )(blocks_d, jnp.float32(glob_mulfac), jnp.float32(scale))
-    cb_h = np.asarray(chunk_bytes)
+    # count-only readback (8 bytes/shard) — NO d2h proportional to raw
+    # size; the chunk table stays on device (same discipline as the
+    # single-chip path's tokenize_desc counts)
+    counts_h = np.asarray(counts)
     sizes_h = np.asarray(sizes)
     raw_h = np.asarray(raw)[:nnn]
 
     # uniform static caps = max over shards (SPMD requires identical shapes)
-    cb_shard = cb_h.reshape(n_shards, -1)
-    acap = lcap = 8
-    for s in range(n_shards):
-        a, l = rle_device.plan_capacities(cb_shard[s])
-        acap, lcap = max(acap, a), max(lcap, l)
+    acap = rle_device.bucket(int(counts_h[:, 0].max()))
+    lcap = rle_device.bucket(int(counts_h[:, 1].max()))
 
-    subrows = np.asarray(
-        _stage2(mesh, chunk, acap, lcap)(fvchunks, desc, chunk_bytes)
+    subrows, aidx, abytes = (
+        np.asarray(v)
+        for v in _stage2(mesh, chunk, acap, lcap)(fvchunks, desc, chunk_bytes)
     )
 
-    # per-shard live subrows -> one global flat buffer (shards are
-    # contiguous block ranges; pad blocks trail in the last shard, and
-    # slicing chunk_bytes to the real blocks drops exactly their payloads)
-    parts = []
+    # per-shard compacted metadata -> one global sorted (aidx, abytes)
+    # stream; shards are contiguous block ranges so concatenation keeps
+    # global chunk order.  Pad blocks are all-zero -> never active.
+    bps = blocks.shape[0] // n_shards
+    g_aidx, g_ab, parts = [], [], []
     for s in range(n_shards):
-        act = cb_shard[s][cb_shard[s] > 0]
-        nlive = int(((act + rle_device.SUBROW - 1) // rle_device.SUBROW).sum())
+        a_s = int(counts_h[s, 0])
+        idx_s = aidx[s, :a_s].astype(np.int64) + s * bps * ncpb
+        ab_s = abytes[s, :a_s]
+        # pad blocks (all-zero, trailing) still emit run tokens; their
+        # chunks sit at the shard tail — truncate them and their subrows
+        keep = int(np.searchsorted(idx_s, nnn * ncpb))
+        g_aidx.append(idx_s[:keep])
+        g_ab.append(ab_s[:keep])
+        nlive = int(((ab_s[:keep] + rle_device.SUBROW - 1)
+                     // rle_device.SUBROW).sum())
         parts.append(subrows[s, :nlive])
     flat = (
         np.concatenate(parts)
         if parts
         else np.zeros((0, rle_device.SUBROW), np.uint8)
     )
+    g_aidx = np.concatenate(g_aidx) if g_aidx else np.zeros(0, np.int64)
+    g_ab = np.concatenate(g_ab) if g_ab else np.zeros(0, np.int64)
 
     raw_bytes_h = None
     if raw_h.any():
@@ -205,8 +222,8 @@ def compress(vol, scale, block=(32, 32, 32), use_local_rms=False, mesh=None):
             .view(np.uint8)
         )
 
-    stream, _total = rle_device.assemble_payload(
-        flat, cb_h[: nnn * ncpb], sizes_h[:nnn], raw_h, raw_bytes_h,
+    stream, _total = rle_device.assemble_payload_sparse(
+        flat, g_aidx, g_ab, g_aidx.size, sizes_h[:nnn], raw_h, raw_bytes_h,
         cells, chunk,
     )
 
