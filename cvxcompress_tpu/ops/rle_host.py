@@ -103,6 +103,12 @@ def _load():
             _f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             _u32p, ctypes.c_int, ctypes.c_long,
         ]
+        lib.cvx_compress_parity_th.restype = ctypes.c_float
+        lib.cvx_compress_parity_th.argtypes = list(lib.cvx_compress_th.argtypes)
+        lib.cvx_decompress_inplace_parity_th.restype = None
+        lib.cvx_decompress_inplace_parity_th.argtypes = list(
+            lib.cvx_decompress_inplace_th.argtypes
+        )
         _lib = lib
         return _lib
 
@@ -208,10 +214,13 @@ def sumsq_f64(vol):
 
 
 def host_compress(vol, scale, block=(32, 32, 32), use_local_rms=False,
-                  num_threads=0):
+                  num_threads=0, parity=False):
     """Full CPU compress through the native C ABI. Returns (container, ratio).
 
     Mirrors cvx_compress_th (reference C ABI, CvxCompress.hxx:169-182).
+    `parity=True` uses the wavelet accumulation order of the reference's
+    generated plain-AVX kernels, making the emitted coefficients (and thus
+    the per-block payloads) bit-identical to the reference's -mavx build.
     """
     lib = _load()
     vol = np.ascontiguousarray(vol, dtype=F32)
@@ -225,7 +234,8 @@ def host_compress(vol, scale, block=(32, 32, 32), use_local_rms=False,
     length = ctypes.c_long(0)
     if num_threads <= 0:
         num_threads = os.cpu_count() or 1
-    ratio = lib.cvx_compress_th(
+    fn = lib.cvx_compress_parity_th if parity else lib.cvx_compress_th
+    ratio = fn(
         ctypes.c_float(float(scale)), _fp(vol), nx, ny, nz, bx, by, bz,
         ctypes.c_bool(bool(use_local_rms)), out.ctypes.data_as(_u32p),
         num_threads, ctypes.byref(length),
@@ -233,8 +243,13 @@ def host_compress(vol, scale, block=(32, 32, 32), use_local_rms=False,
     return out[: length.value].copy(), float(ratio)
 
 
-def host_decompress(data, num_threads=0):
-    """Full CPU decompress through the native C ABI -> (nz, ny, nx) f32."""
+def host_decompress(data, num_threads=0, parity=False):
+    """Full CPU decompress through the native C ABI -> (nz, ny, nx) f32.
+
+    `parity=True`: inverse wavelet in the reference's generated plain-AVX
+    accumulation order — decompressed floats bit-identical to the
+    reference's -mavx build for the same container.
+    """
     lib = _load()
     data = np.ascontiguousarray(data, dtype=np.uint8)
     hdr = data[:12].view(np.uint32)
@@ -242,7 +257,12 @@ def host_decompress(data, num_threads=0):
     vol = np.empty((nz, ny, nx), dtype=F32)
     if num_threads <= 0:
         num_threads = os.cpu_count() or 1
-    lib.cvx_decompress_inplace_th(
+    fn = (
+        lib.cvx_decompress_inplace_parity_th
+        if parity
+        else lib.cvx_decompress_inplace_th
+    )
+    fn(
         _fp(vol), nx, ny, nz, data.ctypes.data_as(_u32p), num_threads,
         ctypes.c_long(data.size),
     )

@@ -127,28 +127,104 @@ void wav_inv_axis(float* p, float* tmp, int stride, int dim) {
   }
 }
 
+// ---- bit-parity variants ----------------------------------------------
+// Replicate the accumulation order of the reference's GENERATED plain-AVX
+// kernels (the deployed fast path): forward = al4-pair, al3, al2, al1,
+// al0-center (Wavelet_Transform_Slow.cpp:398-448, non-avx2 branch:
+// mul+add, no FMA); inverse even = sh3-pair, sl2, sh1, sl0-center; odd =
+// sh4-pair, sl3, sh2, sl1, sh0-center (:588-696).  With -ffp-contract=off
+// on both builds, decompressed floats are bit-identical to the
+// reference's plain-AVX (-mavx, no FMA) build — the AVX2+FMA build of the
+// reference differs from its own plain build, so parity is pinned to the
+// latter (see BASELINE.md).
+
+void wav_fwd_axis_parity(float* p, float* tmp, int stride, int dim) {
+  for (int n = dim; n >= 2; n -= n / 2) {
+    for (int i = 0; i < n; ++i) tmp[i] = p[i * stride];
+    const int nh = n / 2, nl = n - nh;
+    for (int ix = 0; ix < nl; ++ix) {
+      const int i0 = 2 * ix;
+      float acc = AL[4] * (tmp[mirr(i0 - 4, n)] + tmp[mirr(i0 + 4, n)]);
+      acc = acc + AL[3] * (tmp[mirr(i0 - 3, n)] + tmp[mirr(i0 + 3, n)]);
+      acc = acc + AL[2] * (tmp[mirr(i0 - 2, n)] + tmp[mirr(i0 + 2, n)]);
+      acc = acc + AL[1] * (tmp[mirr(i0 - 1, n)] + tmp[mirr(i0 + 1, n)]);
+      acc = acc + AL[0] * tmp[i0];
+      p[ix * stride] = acc;
+    }
+    for (int ix = 0; ix < nh; ++ix) {
+      const int i0 = 2 * ix + 1;
+      float acc = AH[3] * (tmp[mirr(i0 - 3, n)] + tmp[mirr(i0 + 3, n)]);
+      acc = acc + AH[2] * (tmp[mirr(i0 - 2, n)] + tmp[mirr(i0 + 2, n)]);
+      acc = acc + AH[1] * (tmp[mirr(i0 - 1, n)] + tmp[mirr(i0 + 1, n)]);
+      acc = acc + AH[0] * tmp[i0];
+      p[(nl + ix) * stride] = acc;
+    }
+  }
+}
+
+void wav_inv_axis_parity(float* p, float* tmp, int stride, int dim) {
+  int lv[32], nlv = 0;
+  for (int n = dim; n >= 2; n -= n / 2) lv[nlv++] = n;
+  for (int li = nlv - 1; li >= 0; --li) {
+    const int n = lv[li];
+    for (int i = 0; i < n; ++i) tmp[i] = p[i * stride];
+    const int nh = n / 2, nl = n - nh;
+    for (int k = 0; k < nl; ++k) {
+      float acc = SH[3] * (tmp[mirr_sh(nl + k - 2, nl, nh)] +
+                           tmp[mirr_sh(nl + k + 1, nl, nh)]);
+      acc = acc + SL[2] * (tmp[mirr_sl(k - 1, nl)] + tmp[mirr_sl(k + 1, nl)]);
+      acc = acc + SH[1] * (tmp[mirr_sh(nl + k - 1, nl, nh)] +
+                           tmp[mirr_sh(nl + k, nl, nh)]);
+      acc = acc + SL[0] * tmp[k];
+      p[2 * k * stride] = acc;
+    }
+    for (int k = 0; k < nh; ++k) {
+      float acc = SH[4] * (tmp[mirr_sh(nl + k - 2, nl, nh)] +
+                           tmp[mirr_sh(nl + k + 2, nl, nh)]);
+      acc = acc + SL[3] * (tmp[mirr_sl(k - 1, nl)] + tmp[mirr_sl(k + 2, nl)]);
+      acc = acc + SH[2] * (tmp[mirr_sh(nl + k - 1, nl, nh)] +
+                           tmp[mirr_sh(nl + k + 1, nl, nh)]);
+      acc = acc + SL[1] * (tmp[mirr_sl(k, nl)] + tmp[mirr_sl(k + 1, nl)]);
+      acc = acc + SH[0] * tmp[nl + k];
+      p[(2 * k + 1) * stride] = acc;
+    }
+  }
+}
+
 // block is contiguous (bz, by, bx); axis order x -> y -> z both directions
-void wav_fwd_block(float* blk, float* tmp, int bx, int by, int bz) {
+typedef void (*axis_fn)(float*, float*, int, int);
+
+void wav_fwd_block_ex(float* blk, float* tmp, int bx, int by, int bz,
+                      bool parity) {
+  const axis_fn f = parity ? wav_fwd_axis_parity : wav_fwd_axis;
   if (bx > 1)
-    for (int zy = 0; zy < bz * by; ++zy) wav_fwd_axis(blk + zy * bx, tmp, 1, bx);
+    for (int zy = 0; zy < bz * by; ++zy) f(blk + zy * bx, tmp, 1, bx);
   if (by > 1)
     for (int z = 0; z < bz; ++z)
       for (int x = 0; x < bx; ++x)
-        wav_fwd_axis(blk + z * by * bx + x, tmp, bx, by);
+        f(blk + z * by * bx + x, tmp, bx, by);
   if (bz > 1)
     for (int yx = 0; yx < by * bx; ++yx)
-      wav_fwd_axis(blk + yx, tmp, by * bx, bz);
+      f(blk + yx, tmp, by * bx, bz);
+}
+void wav_inv_block_ex(float* blk, float* tmp, int bx, int by, int bz,
+                      bool parity) {
+  const axis_fn f = parity ? wav_inv_axis_parity : wav_inv_axis;
+  if (bx > 1)
+    for (int zy = 0; zy < bz * by; ++zy) f(blk + zy * bx, tmp, 1, bx);
+  if (by > 1)
+    for (int z = 0; z < bz; ++z)
+      for (int x = 0; x < bx; ++x)
+        f(blk + z * by * bx + x, tmp, bx, by);
+  if (bz > 1)
+    for (int yx = 0; yx < by * bx; ++yx)
+      f(blk + yx, tmp, by * bx, bz);
+}
+void wav_fwd_block(float* blk, float* tmp, int bx, int by, int bz) {
+  wav_fwd_block_ex(blk, tmp, bx, by, bz, false);
 }
 void wav_inv_block(float* blk, float* tmp, int bx, int by, int bz) {
-  if (bx > 1)
-    for (int zy = 0; zy < bz * by; ++zy) wav_inv_axis(blk + zy * bx, tmp, 1, bx);
-  if (by > 1)
-    for (int z = 0; z < bz; ++z)
-      for (int x = 0; x < bx; ++x)
-        wav_inv_axis(blk + z * by * bx + x, tmp, bx, by);
-  if (bz > 1)
-    for (int yx = 0; yx < by * bx; ++yx)
-      wav_inv_axis(blk + yx, tmp, by * bx, bz);
+  wav_inv_block_ex(blk, tmp, bx, by, bz, false);
 }
 
 // ----------------------------------------------------------- entropy stage
@@ -492,7 +568,7 @@ void cvx_chunk_flags(const float* coeffs, int64_t nchunks, int64_t chunk,
 static float host_compress(float scale, const float* vol, int nx, int ny,
                            int nz, int bx, int by, int bz, bool use_local_rms,
                            unsigned int* compressed, int num_threads,
-                           int64_t* compressed_length) {
+                           int64_t* compressed_length, bool parity = false) {
 #ifdef _OPENMP
   omp_set_num_threads(num_threads);
 #endif
@@ -533,7 +609,7 @@ static float host_compress(float scale, const float* vol, int nx, int ny,
       const int iiy = (int)(r / g.nbx), iix = (int)(r % g.nbx);
       extract_block(vol, nx, ny, nz, iix * bx, iiy * by, iiz * bz, bx, by, bz,
                     blk.data());
-      wav_fwd_block(blk.data(), tmp.data(), bx, by, bz);
+      wav_fwd_block_ex(blk.data(), tmp.data(), bx, by, bz, parity);
       float mf = glob_mulfac;
       if (use_local_rms) {
         double ss = 0.0;
@@ -573,7 +649,7 @@ static float host_compress(float scale, const float* vol, int nx, int ny,
 
 static void host_decompress(float* vol, int nx, int ny, int nz,
                             const unsigned int* compressed, int num_threads,
-                            int64_t compressed_length) {
+                            int64_t compressed_length, bool parity = false) {
 #ifdef _OPENMP
   omp_set_num_threads(num_threads);
 #endif
@@ -619,7 +695,7 @@ static void host_decompress(float* vol, int nx, int ny, int nz,
                               cells) >= 0;
       }
       if (!ok) std::memset(blk.data(), 0, sizeof(float) * cells);
-      wav_inv_block(blk.data(), tmp.data(), bx, by, bz);
+      wav_inv_block_ex(blk.data(), tmp.data(), bx, by, bz, parity);
       insert_block(vol, nx, ny, nz, iix * bx, iiy * by, iiz * bz, bx, by, bz,
                    blk.data());
     }
@@ -671,6 +747,28 @@ float* cvx_decompress_outofplace(int* nx, int* ny, int* nz,
   float* vol = (float*)std::malloc(sizeof(float) * (int64_t)(*nx) * (*ny) * (*nz));
   cvx_decompress_inplace(vol, *nx, *ny, *nz, compressed, compressed_length);
   return vol;
+}
+
+// ---- bit-parity entry points (plain-AVX reference build order) ----
+
+float cvx_compress_parity_th(float scale, float* vol, int nx, int ny, int nz,
+                             int bx, int by, int bz, bool use_local_RMS,
+                             unsigned int* compressed, int num_threads,
+                             long* compressed_length) {
+  int64_t len;
+  const float ratio =
+      host_compress(scale, vol, nx, ny, nz, bx, by, bz, use_local_RMS,
+                    compressed, num_threads, &len, true);
+  *compressed_length = (long)len;
+  return ratio;
+}
+
+void cvx_decompress_inplace_parity_th(float* vol, int nx, int ny, int nz,
+                                      unsigned int* compressed,
+                                      int num_threads,
+                                      long compressed_length) {
+  host_decompress(vol, nx, ny, nz, compressed, num_threads,
+                  (int64_t)compressed_length, true);
 }
 
 }  // extern "C"

@@ -50,6 +50,17 @@ def block_sweep(exhaustive):
                 if bx * by * bz > (1 << 21):  # keep runtime sane
                     continue
                 yield bx, by, bz
+    # 256-bearing samples above the cell cap: the reference sweeps every
+    # combo incl. 256 (CvxCompress.cpp:695-785); covering each axis at its
+    # maximum extent exercises the deepest (8-level) operator cascade
+    extra = [
+        (256, 32, 8), (8, 32, 256), (32, 256, 8), (256, 256, 8),
+        (256, 8, 256),
+    ]
+    if exhaustive:
+        extra += [(256, 256, 32), (128, 256, 64), (256, 256, 256)]
+    for b in extra:
+        yield b
 
 
 def stage_2_3_transforms(exhaustive):
@@ -210,6 +221,24 @@ def stage_9_10_codec(quick):
     check("[10] decompress throughput (actually measured)", ok)
 
 
+def stage_12_256_roundtrip():
+    """[12] random-data 256^3-block roundtrip with quality bars (the
+    reference's compress tests skip 256 in z, CvxCompress.cpp:1143 —
+    covered here on all axes)."""
+    import cvxcompress_tpu as cvx
+
+    r = np.random.default_rng(12)
+    vol = np.cumsum(
+        r.standard_normal((256, 256, 256)).astype(np.float32), axis=2
+    )  # correlated -> compressible but non-degenerate
+    data, ratio = cvx.compress(vol, 1e-3, block=(256, 256, 256))
+    out = cvx.decompress(data)
+    o = vol.astype(np.float64)
+    err = float(np.sqrt(((out - o) ** 2).mean()) / np.sqrt((o * o).mean()))
+    check("[12] 256^3-block roundtrip quality", err < 1e-3 and ratio > 1.5,
+          f"ratio {ratio:.1f}:1 err {err:.2e}")
+
+
 def stage_11_giant_run():
     """[11] all-zero 256^3 block: the 2^24-cell zero run splits into
     [RLESC3 0xFFFFFF][00] (5 payload bytes) — the documented fix of the
@@ -241,6 +270,7 @@ def main():
     stage_9_10_codec(args.quick)
     if args.exhaustive:
         stage_11_giant_run()
+        stage_12_256_roundtrip()
 
     if _failures:
         print(f"{RED}{len(_failures)} stage(s) failed: {_failures}{END}")
