@@ -89,11 +89,12 @@ def _stage_w_pallas(vol, glob_mulfac, scale, use_local, block, chunk):
     chunks = coeffs2d.reshape(nchunks, chunk)
     mfc = jnp.broadcast_to(mf[:, None], (n, ncpb)).reshape(nchunks, 1)
     fv = (chunks * mfc).astype(jnp.float32)
-    pad = tp.pad_rows(nchunks) - nchunks
-    fvp = jnp.concatenate(
-        [fv, jnp.zeros((pad, chunk), jnp.float32)], axis=0
-    )
-    return fvp, mf
+    pad = tp.pad_rows2(nchunks) - nchunks
+    if pad:
+        fv = jnp.concatenate(
+            [fv, jnp.zeros((pad, chunk), jnp.float32)], axis=0
+        )
+    return fv, mf
 
 
 def _fused_compact_enabled():
@@ -158,10 +159,21 @@ def _stage_w_volume(vol, glob_mulfac, block):
 
 
 def _use_volume_path(vol_shape, block, use_local, chunk):
+    """bx>=128 direct-volume compress tiling — experimental opt-in.
+
+    Measured a slight net LOSS at 128^3 on v5e (the strided (zg, by, bx)
+    slab DMAs undercut the contiguous chunk-row reads more than the
+    removed fused-output permute saves — that permute is near-free at
+    bx=128; PERF_NOTES.md round 2).  Kept, tested, and gated: it is the
+    right shape for configs where the relayout isn't free.
+    """
+    import os
+
     from . import tokenize_pallas as tp
 
     return (
-        use_pallas()
+        os.environ.get("CVX_VOLUME_COMPRESS") == "1"
+        and use_pallas()
         and not use_local  # local-RMS keeps the block-major reduction order
         and chunk == tp.LANES
         and tp.volume_path_ok(vol_shape, block)
@@ -193,7 +205,7 @@ def _encode_device(vol_dev, glob_mulfac, scale, use_local, block, chunk):
         )
         n = mf.shape[0]
         nchunks = n * (cells // chunk)
-        desc, cb, sizes, raw, counts = tp.tokenize_desc_fast(
+        desc, cb, sizes, raw, counts = tp.tokenize_desc_fast2(
             fvp, n, cells // chunk, chunk
         )
         chunks = fvp[:nchunks]

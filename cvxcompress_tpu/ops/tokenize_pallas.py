@@ -325,6 +325,78 @@ def pad_rows(nchunks):
     return -(-nchunks // TR) * TR + 8
 
 
+def pad_rows2(nchunks):
+    """Padded row count for the clamped-lookahead kernel: TR multiple only
+    (no +8 tail; when nchunks is already a multiple the producer's pad
+    CONCAT — a full extra copy of the coefficients — disappears)."""
+    return -(-nchunks // TR) * TR
+
+
+@functools.partial(jax.jit, static_argnames=("ncpb", "interpret"))
+def tokenize_tiles2(fv_chunks, ncpb, interpret=False):
+    """Clamped-lookahead kernel over (k*TR, 128) rows -> desc.
+
+    No +8 lookahead tail rows: the last tile's window clamps to the array
+    tail, whose value never matters (the final cell of the final tile is
+    a block end, where run_end is forced — same argument as the volume
+    tiling).  When nchunks is already a TR multiple the producer's pad
+    CONCAT (a full extra copy of the coefficients, ~1 ms at 128^3)
+    disappears.  (A variant emitting per-chunk byte counts from the
+    kernel measured SLOWER — the extra (TR,1) output per tile costs more
+    than the XLA row-sum it saves.)
+    """
+    npad, lanes = fv_chunks.shape
+    assert lanes == LANES and npad % TR == 0
+    ntiles = npad // TR
+    last = (npad - 8) // 8
+
+    desc = pl.pallas_call(
+        functools.partial(_kernel, ncpb=ncpb),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((TR, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (8, LANES),
+                lambda i: (jnp.minimum((i + 1) * (TR // 8), last), 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((TR, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad, LANES), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=interpret,
+    )(fv_chunks, fv_chunks)
+    return desc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n", "ncpb", "chunk", "interpret")
+)
+def tokenize_desc_fast2(fv_chunks_padded, n, ncpb, chunk, interpret=False):
+    """Drop-in for tokenize_desc_fast on pad_rows2-shaped input."""
+    from . import rle_device
+
+    assert chunk == LANES
+    nchunks = n * ncpb
+    desc = tokenize_tiles2(fv_chunks_padded, ncpb, interpret=interpret)
+    desc = desc[:nchunks]
+    chunk_bytes = (desc & 7).sum(-1).reshape(n, ncpb)
+    sizes0 = chunk_bytes.sum(-1)
+    cells = ncpb * chunk
+    raw = sizes0 > 4 * cells
+    sizes = jnp.where(raw, I32(4 * cells), sizes0)
+    chunk_bytes = jnp.where(raw[:, None], I32(0), chunk_bytes).reshape(nchunks)
+    active = chunk_bytes > 0
+    acount = active.sum(dtype=I32)
+    lcount = (
+        (chunk_bytes + (rle_device.SUBROW - 1)) // rle_device.SUBROW
+    ).sum(dtype=I32)
+    counts = jnp.stack([acount, lcount])
+    return desc, chunk_bytes, sizes, raw, counts
+
+
 # ---------------------------------------------------------------------------
 # Volume-input variant (bx >= 128): the kernel reads the VOLUME-ORDER
 # coefficient plane directly via BlockSpec index arithmetic — chunk rows

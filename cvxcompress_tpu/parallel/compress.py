@@ -83,12 +83,13 @@ def _stage1(mesh, use_local, chunk):
         nch = n * (cells // chunk)
         if pallas_ok and chunk == tp.LANES:
             fvc = fv2d.reshape(nch, chunk)
-            pad = tp.pad_rows(nch) - nch
-            fvp = jnp.concatenate(
-                [fvc, jnp.zeros((pad, chunk), jnp.float32)], axis=0
-            )
-            desc, chunk_bytes, sizes, raw, counts = tp.tokenize_desc_fast(
-                fvp, n, cells // chunk, chunk
+            pad = tp.pad_rows2(nch) - nch
+            if pad:
+                fvc = jnp.concatenate(
+                    [fvc, jnp.zeros((pad, chunk), jnp.float32)], axis=0
+                )
+            desc, chunk_bytes, sizes, raw, counts = tp.tokenize_desc_fast2(
+                fvc, n, cells // chunk, chunk
             )
         else:
             desc, chunk_bytes, sizes, raw, counts = rle_device.tokenize_desc(

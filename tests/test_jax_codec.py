@@ -242,6 +242,7 @@ def test_volume_compress_path_container_parity(monkeypatch, rng):
     ref, _ = jcodec.compress(vol, 1e-2, block=block)  # standard CPU path
 
     monkeypatch.setattr(jcodec, "use_pallas", lambda: True)
+    monkeypatch.setenv("CVX_VOLUME_COMPRESS", "1")
     assert jcodec._use_volume_path(shape, block, False, 128)
     got, _ = jcodec.compress(vol, 1e-2, block=block)
     # payload layout + sizes identical; values may differ at quantization

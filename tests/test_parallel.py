@@ -58,7 +58,12 @@ def test_sharded_decompress_matches_single_chip():
     mesh = meshlib.make_mesh()
     out_p = pcompress.decompress(data, mesh=mesh)
     out_s = jcodec.decompress(data)
-    np.testing.assert_array_equal(out_p, out_s)
+    # the sharded path runs the block-major inverse, the single-chip path
+    # the volume-order engine: same operators, different einsum shapes —
+    # agreement to matmul rounding, like any cross-engine pair
+    denom = np.sqrt(np.mean(out_s.astype(np.float64) ** 2)) + 1e-30
+    rel = np.sqrt(np.mean((out_p - out_s).astype(np.float64) ** 2)) / denom
+    assert rel < 1e-6, rel
 
 
 def test_sharded_local_rms():
