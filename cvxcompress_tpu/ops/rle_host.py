@@ -68,6 +68,10 @@ def _load():
         ]
         lib.cvx_sumsq_f64.restype = ctypes.c_double
         lib.cvx_sumsq_f64.argtypes = [_f32p, ctypes.c_int64]
+        lib.cvx_ragged_copy.restype = None
+        lib.cvx_ragged_copy.argtypes = [
+            _u8p, _i64p, _u8p, _i64p, _i64p, ctypes.c_int64,
+        ]
         lib.cvx_chunk_flags.restype = None
         lib.cvx_chunk_flags.argtypes = [
             _f32p, ctypes.c_int64, ctypes.c_int64, _u8p,
@@ -194,6 +198,19 @@ def encode_payloads(coeffs, mulfacs):
         sizes.ctypes.data_as(_i64p), raw.ctypes.data_as(_u8p),
     )
     return buf, stride, sizes, raw.astype(bool)
+
+
+def ragged_copy(src, soff, dst, doff, nbytes):
+    """n independent memcpys dst[doff[i]:+nbytes[i]] = src[soff[i]:+...]."""
+    lib = _load()
+    soff = np.ascontiguousarray(soff, dtype=np.int64)
+    doff = np.ascontiguousarray(doff, dtype=np.int64)
+    nb = np.ascontiguousarray(nbytes, dtype=np.int64)
+    lib.cvx_ragged_copy(
+        src.ctypes.data_as(_u8p), soff.ctypes.data_as(_i64p),
+        dst.ctypes.data_as(_u8p), doff.ctypes.data_as(_i64p),
+        nb.ctypes.data_as(_i64p), soff.size,
+    )
 
 
 def chunk_flags(coeffs, chunk):

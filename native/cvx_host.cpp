@@ -542,6 +542,16 @@ void cvx_encode_payloads(const float* coeffs, const float* mulfacs,
   }
 }
 
+// Ragged gather-copy: n independent memcpys (the container-assembly hot
+// loop — the numpy fancy-index equivalent costs ~10x at typical chunk
+// counts).  Bounds are the caller's contract (offsets it just computed).
+void cvx_ragged_copy(const uint8_t* src, const int64_t* soff, uint8_t* dst,
+                     const int64_t* doff, const int64_t* nbytes, int64_t n) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i)
+    std::memcpy(dst + doff[i], src + soff[i], (size_t)nbytes[i]);
+}
+
 double cvx_sumsq_f64(const float* vol, int64_t n) {
   double acc = 0.0;
 #pragma omp parallel for reduction(+ : acc)
