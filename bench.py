@@ -175,10 +175,9 @@ def bench_device_decompress(data, vol_shape, rtt, iters=6):
     nseg = p["segs"].shape[0]
 
     def run(s):
-        plane = ed.decode_to_volume(
+        return jcodec._decode_and_inverse(
             s, sblk, sfst, ssf, vol_shape, block, nseg
         )
-        return jcodec._inverse_volume_plane(plane, vol_shape, block)
 
     fetch1(run(segs[0]))
     best = float("inf")

@@ -511,6 +511,22 @@ def _inverse_volume_plane(plane, vol_shape, block):
     return wavelet.inverse_3d_volume(plane, vol_shape, block)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("vol_shape", "block", "nseg_s")
+)
+def _decode_and_inverse(segs, sub_block, sub_reset, scalefac, vol_shape,
+                        block, nseg_s):
+    """Entropy parse + inverse wavelet in ONE program (no boundary
+    materialization of the coefficient plane)."""
+    from . import entropy_decode as ed
+
+    plane = ed.decode_to_volume.__wrapped__(
+        segs, sub_block, sub_reset, scalefac, vol_shape, block, nseg_s
+    )
+    plane = wavelet.apply_x_inverse_rows(plane, block[0])
+    return wavelet.inverse_3d_volume(plane, vol_shape, block)
+
+
 def decompress_device(data):
     """Fully device-side decompress: entropy parse + inverse on the chip.
 
@@ -529,17 +545,23 @@ def decompress_device(data):
     hdr = p["hdr"]
     vol_shape = (hdr.nz, hdr.ny, hdr.nx)
     block = (hdr.bx, hdr.by, hdr.bz)
-    plane = ed.decode_to_volume(
-        jnp.asarray(p["segs"]), jnp.asarray(p["sub_block"]),
-        jnp.asarray(p["sub_reset"]), jnp.asarray(p["scalefac"]),
-        vol_shape, block, p["segs"].shape[0],
-    )
     if p["raw_ids"].size:
+        # rare: keep the staged path so the raw overlay can interpose
+        plane = ed.decode_to_volume(
+            jnp.asarray(p["segs"]), jnp.asarray(p["sub_block"]),
+            jnp.asarray(p["sub_reset"]), jnp.asarray(p["scalefac"]),
+            vol_shape, block, p["segs"].shape[0],
+        )
         plane = ed.overlay_raw(
             plane, jnp.asarray(p["raw_rows"]), jnp.asarray(p["raw_ids"]),
             vol_shape, block,
         )
-    return np.asarray(_inverse_volume_plane(plane, vol_shape, block))
+        return np.asarray(_inverse_volume_plane(plane, vol_shape, block))
+    return np.asarray(_decode_and_inverse(
+        jnp.asarray(p["segs"]), jnp.asarray(p["sub_block"]),
+        jnp.asarray(p["sub_reset"]), jnp.asarray(p["scalefac"]),
+        vol_shape, block, p["segs"].shape[0],
+    ))
 
 
 def decompress(data, engine="auto"):

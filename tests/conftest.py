@@ -21,6 +21,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", _platform)
+# persistent compilation cache: the decoder/codec programs are large and
+# dominate CPU suite time on repeat runs
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("CVX_TEST_JAX_CACHE", "/tmp/cvx_jax_test_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
