@@ -11,9 +11,12 @@ re-architected TPU-first — see PERF_NOTES.md):
           log-shift front-pack -> live 64B subrows (d2h ∝ compressed size)
   host:   ragged concat -> container (header + offset table + payload)
 
-Decompress: container parse + entropy decode on host (native C++ when
-built, oracle fallback), CHUNK-SPARSE upload (only nonzero chunks travel
-h2d), device row-gather expand + batched inverse MXU wavelet + un-layout.
+Decompress (engine="device", the TPU default): container parse + a
+segment memcpy on host (∝ compressed size), then ONE device program does
+the entropy parse (ops/entropy_decode), the volume-order scatter-expand,
+and the inverse wavelet — no block-major relayout anywhere.  The host
+engine (native C++/oracle entropy decode + chunk-sparse upload + device
+volume-order inverse) remains as the non-TPU/fallback path.
 """
 
 from __future__ import annotations
