@@ -118,10 +118,10 @@ def bench_device_compress(vol, block, scale, rtt, iters=6):
     else:
         def run(v):
             (chunks, desc, cb, sizes, raw, counts, mf,
-             rowmap) = jcodec._encode_device(
+             gcfg) = jcodec._encode_device(
                 v, mf0, jnp.float32(scale), False, block, chunk
             )
-            return chunks, desc, cb, mf, counts, rowmap
+            return chunks, desc, cb, mf, counts, gcfg
 
         out = run(vd[0])
         acount, lcount = (int(x) for x in np.asarray(out[4]))
@@ -130,10 +130,12 @@ def bench_device_compress(vol, block, scale, rtt, iters=6):
         skip = acount == lcount
 
         def full(v):
-            chunks, desc, cb, mf, counts, rowmap = run(v)
+            chunks, desc, cb, mf, counts, gcfg = run(v)
             sub, aidx, ab = rle_device.pack_active(
                 chunks, desc, cb, acap, lcap, skip_squeeze=skip,
-                row_of_chunk=rowmap,
+                row_of_chunk=gcfg["row_of_chunk"] if gcfg else None,
+                desc_row_of_chunk=gcfg["desc_row_of_chunk"] if gcfg else None,
+                nchunks_override=gcfg["nchunks"] if gcfg else None,
             )
             return sub
 

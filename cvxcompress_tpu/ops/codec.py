@@ -147,6 +147,77 @@ def volume_rowmap(vol_shape, block):
     return f
 
 
+@functools.lru_cache(maxsize=None)
+def stripe_rowmap(vol_shape, block):
+    """chunk id -> (n, rpc) rows of the (R*nbx2, bx)-view stripe plane.
+
+    For bx < 128 a chunk (128 block-major cells) is rpc = 128//bx x-rows
+    of one block column; consecutive rows sit nbx2 apart in the flat
+    x-padded volume view.  Works on jnp and numpy indices.
+    """
+    nz, ny, nx = vol_shape
+    bx, by, bz = block
+    nbz, nby, nbx = -(-nz // bz), -(-ny // by), -(-nx // bx)
+    nbx2 = wavelet.padded_nbx(nbx, bx)
+    rpc = 128 // bx
+    ypr = by // rpc  # chunks per (block, z-layer)
+    cpb = (bx * by * bz) // 128
+    nyp = nby * by
+
+    def f(c):
+        b = c // cpb
+        w = c % cpb
+        bzi = b // (nby * nbx)
+        byi = (b // nbx) % nby
+        bxi = b % nbx
+        zl = w // ypr
+        yq = w % ypr
+        base = ((bzi * bz + zl) * nyp + byi * by + yq * rpc) * nbx2 + bxi
+        return base[..., None] + jnp.arange(rpc, dtype=base.dtype) * nbx2
+
+    return f
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _stage_w_stripe(vol, glob_mulfac, block):
+    """Wavelet stage, volume order with x-pad (bx<128 stripe fast path)."""
+    fvv = wavelet.forward_3d_volume(
+        vol, vol.shape, block, pad_x_blocks=True
+    )
+    return (fvv * glob_mulfac).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _raw_chunks_stripe(vol, block):
+    """Unscaled x-padded volume-order rows (stripe raw-fallback twin)."""
+    return wavelet.forward_3d_volume(
+        vol, vol.shape, block, pad_x_blocks=True
+    ).reshape(-1, block[0])
+
+
+def _use_stripe_path(vol_shape, block, use_local, chunk):
+    """bx<128 direct-volume stripe tiling — experimental opt-in.
+
+    Containers are byte-identical to the standard path (tested, incl. on
+    chip), but the kernel measured ~3x SLOWER at the 32^3 CI config: the
+    cross-row zero-run scans must run at full stripe width (every lane of
+    a bx-group carries the group state), violating the narrow-column scan
+    rule the chunk-row kernel obeys (PERF_NOTES.md round 2).  Gated until
+    the run carry is restructured.
+    """
+    import os
+
+    from . import tokenize_pallas as tp
+
+    return (
+        os.environ.get("CVX_STRIPE") == "1"
+        and use_pallas()
+        and not use_local  # local-RMS keeps the block-major reduction order
+        and chunk == tp.LANES
+        and tp.stripe_path_ok(vol_shape, block)
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("block",))
 def _stage_w_volume(vol, glob_mulfac, block):
     """Wavelet stage, volume order (bx>=128 fast path, global RMS).
@@ -187,21 +258,45 @@ def _encode_device(vol_dev, glob_mulfac, scale, use_local, block, chunk):
     """W + T stages with the best available tokenizer.
 
     Returns (coeff_chunks, desc, chunk_bytes, sizes, raw, counts, mf,
-    rowmap) — rowmap is None unless coeff_chunks are volume-order rows.
+    gcfg) — gcfg is None for chunk-major layouts, else a dict with the
+    pack gather maps (row_of_chunk / desc_row_of_chunk / nchunks) and the
+    raw-fallback recompute kind.
     """
     from . import tokenize_pallas as tp
 
     bx, by, bz = block
     cells = bx * by * bz
-    if _use_volume_path(vol_dev.shape, block, use_local, chunk):
-        chunks = _stage_w_volume(vol_dev, glob_mulfac, block)
-        desc, cb, sizes, raw, counts = tp.tokenize_desc_volume_fast(
-            chunks, tuple(vol_dev.shape), block,
+    shape = tuple(vol_dev.shape)
+    if _use_stripe_path(shape, block, use_local, chunk):
+        fvv = _stage_w_stripe(vol_dev, glob_mulfac, block)
+        desc, cb, sizes, raw, counts = tp.tokenize_desc_stripe_fast(
+            fvv, shape, block,
         )
         n = sizes.shape[0]
         mf = jnp.broadcast_to(glob_mulfac, (n,)).astype(jnp.float32)
-        return (chunks, desc, cb, sizes, raw, counts, mf,
-                volume_rowmap(tuple(vol_dev.shape), block))
+        rmap = stripe_rowmap(shape, block)
+        gcfg = {
+            "row_of_chunk": rmap,
+            "desc_row_of_chunk": rmap,
+            "nchunks": n * (cells // chunk),
+            "raw_kind": "stripe",
+        }
+        return (fvv.reshape(-1, bx), desc.reshape(-1, bx), cb, sizes, raw,
+                counts, mf, gcfg)
+    if _use_volume_path(shape, block, use_local, chunk):
+        chunks = _stage_w_volume(vol_dev, glob_mulfac, block)
+        desc, cb, sizes, raw, counts = tp.tokenize_desc_volume_fast(
+            chunks, shape, block,
+        )
+        n = sizes.shape[0]
+        mf = jnp.broadcast_to(glob_mulfac, (n,)).astype(jnp.float32)
+        gcfg = {
+            "row_of_chunk": volume_rowmap(shape, block),
+            "desc_row_of_chunk": None,
+            "nchunks": n * (cells // chunk),
+            "raw_kind": "volume",
+        }
+        return chunks, desc, cb, sizes, raw, counts, mf, gcfg
     if use_pallas() and chunk == tp.LANES:
         fvp, mf = _stage_w_pallas(
             vol_dev, glob_mulfac, scale, use_local, block, chunk
@@ -293,7 +388,7 @@ def compress(vol, scale, block=(32, 32, 32), use_local_rms=False,
         )
         rowmap = None
     else:
-        coeff_chunks, desc, chunk_bytes, sizes, raw, counts, mf, rowmap = (
+        coeff_chunks, desc, chunk_bytes, sizes, raw, counts, mf, gcfg = (
             _encode_device(
                 jnp.asarray(vol), jnp.float32(glob_mulfac),
                 jnp.float32(scale), use_local_rms, (bx, by, bz), chunk,
@@ -304,7 +399,10 @@ def compress(vol, scale, block=(32, 32, 32), use_local_rms=False,
         lcap = rle_device.bucket(lcount)
         subrows, aidx, abytes = rle_device.pack_active(
             coeff_chunks, desc, chunk_bytes, acap, lcap,
-            skip_squeeze=(acount == lcount), row_of_chunk=rowmap,
+            skip_squeeze=(acount == lcount),
+            row_of_chunk=gcfg["row_of_chunk"] if gcfg else None,
+            desc_row_of_chunk=gcfg["desc_row_of_chunk"] if gcfg else None,
+            nchunks_override=gcfg["nchunks"] if gcfg else None,
         )
     subrows_h = np.asarray(subrows)
     sizes_h = np.asarray(sizes)
@@ -317,9 +415,12 @@ def compress(vol, scale, block=(32, 32, 32), use_local_rms=False,
         rblk = np.nonzero(raw_h)[0].astype(np.int32)
         ncpb = cells // chunk
         ridx = (rblk[:, None] * ncpb + np.arange(ncpb, dtype=np.int32)).ravel()
-        if not fused and rowmap is not None:
+        if not fused and gcfg is not None and gcfg["raw_kind"] == "stripe":
+            uchunks = _raw_chunks_stripe(jnp.asarray(vol), (bx, by, bz))
+            ridx = gcfg["row_of_chunk"](ridx.astype(np.int64)).reshape(-1)
+        elif not fused and gcfg is not None:
             uchunks = _raw_chunks_volume(jnp.asarray(vol), (bx, by, bz))
-            ridx = rowmap(ridx.astype(np.int64))
+            ridx = gcfg["row_of_chunk"](ridx.astype(np.int64))
         else:
             uchunks = _raw_chunks(jnp.asarray(vol), (bx, by, bz), chunk)
         raw_bytes_h = (

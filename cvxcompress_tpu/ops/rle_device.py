@@ -52,6 +52,7 @@ U8 = jnp.uint8
 
 MAX_RUN24 = (1 << 24) - 1
 SUBROW = 64
+CHUNK_PACK = 128  # chunk width when pack gathers from a remapped layout
 
 _B_RLESC1 = 127
 _B_RLESC3 = 125
@@ -332,12 +333,14 @@ def _fit(a, cap, fill=0):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "acap", "lcap", "use_pallas_kernel", "skip_squeeze", "row_of_chunk"
+        "acap", "lcap", "use_pallas_kernel", "skip_squeeze", "row_of_chunk",
+        "desc_row_of_chunk", "nchunks_override",
     ),
 )
 def pack_active(fv_chunks, desc, chunk_bytes, acap, lcap,
                 use_pallas_kernel=None, skip_squeeze=False,
-                row_of_chunk=None):
+                row_of_chunk=None, desc_row_of_chunk=None,
+                nchunks_override=None):
     """PASS 2: row-gather active chunks, pack their payload bytes.
 
     fv_chunks (nchunks, chunk) f32: PRE-SCALED coefficients in chunk
@@ -347,11 +350,17 @@ def pack_active(fv_chunks, desc, chunk_bytes, acap, lcap,
     (subrows (lcap, SUBROW) u8, aidx, abytes); live subrows hold the
     per-chunk payloads, front-packed, in block order.
 
-    `row_of_chunk` (optional, elementwise): maps chunk ids to rows of
-    `fv_chunks` when the coefficients live in a different layout (the
-    bx>=128 volume-order plane) — the gather itself stays row-granular.
+    `row_of_chunk` / `desc_row_of_chunk` (optional, elementwise): map
+    chunk ids to rows of `fv_chunks` / `desc` when those live in a
+    different layout (the direct-volume planes).  A map may return
+    (n, k) indices of width chunk//k rows per chunk — gathers stay
+    row-granular either way.  `nchunks_override` gives the chunk count
+    when `desc` is not chunk-major.
     """
-    nchunks, chunk = desc.shape
+    chunk = CHUNK_PACK if nchunks_override is not None else desc.shape[1]
+    nchunks = (
+        nchunks_override if nchunks_override is not None else desc.shape[0]
+    )
     spq = 5 * chunk // SUBROW  # subrows per chunk staging row
 
     # -- active-chunk scalar compaction (index + bytes stacked into one
@@ -374,9 +383,13 @@ def pack_active(fv_chunks, desc, chunk_bytes, acap, lcap,
     )
 
     # -- row-gather active chunks (row-granular: fast on TPU)
-    arows = row_of_chunk(aidx) if row_of_chunk is not None else aidx
-    fvg = jnp.take(fv_chunks, arows, axis=0)
-    dsc = jnp.take(desc, aidx, axis=0)
+    def _gather(mat, rmap):
+        rows = rmap(aidx) if rmap is not None else aidx
+        g = jnp.take(mat, rows.reshape(-1), axis=0)
+        return g.reshape(acap, chunk)
+
+    fvg = _gather(fv_chunks, row_of_chunk)
+    dsc = _gather(desc, desc_row_of_chunk)
 
     # -- rebuild token bytes + front-pack, Pallas kernel when available
     from . import pack_pallas

@@ -398,7 +398,239 @@ def tokenize_desc_fast2(fv_chunks_padded, n, ncpb, chunk, interpret=False):
 
 
 # ---------------------------------------------------------------------------
-# Volume-input variant (bx >= 128): the kernel reads the VOLUME-ORDER
+# Stripe variant (bx < 128): tokenize VOLUME-ORDER coefficient stripes.
+# A (zg, by, nxp2) slab holds nbx2 block columns side by side; every scan
+# that the chunk-row kernel runs across full rows runs here within
+# bx-lane groups (masked rolls), and the cross-row zero-run carry is a
+# per-lane VMEM row (one entry per block column) instead of a scalar.
+# Descriptors come out in VOLUME order; only the small per-chunk byte
+# table gets permuted to block-major (bytes/128 of a data relayout).
+# This removes the 6D block-major transpose from the 32^3 compress path.
+# ---------------------------------------------------------------------------
+
+
+def _group_reverse_max(x, gl, g, fill):
+    """Broadcast each g-lane group's max to all its lanes (masked rolls).
+
+    `x` must already be the within-group prefix-max (so the group max
+    lives at each group's last lane); gl = lane % g.
+    """
+    s = 1
+    while s < g:
+        W = x.shape[-1]
+        nxt = jnp.where(gl < g - s, pltpu.roll(x, W - s, 1), fill)
+        x = jnp.maximum(x, nxt)
+        s *= 2
+    return x
+
+
+def _group_or_broadcast_from_lane0(x, gl, g):
+    """Propagate each g-lane group's lane-0 value to the whole group
+    (values elsewhere must be 0)."""
+    s = 1
+    while s < g:
+        x = x | jnp.where(gl >= s, pltpu.roll(x, s, 1), 0)
+        s *= 2
+    return x
+
+
+def _tile_desc_stripe(fv, nxt_row, carry_in, zt, byi, geom):
+    """(TRS, W) volume-order stripe -> (desc, cost, carry_out).
+
+    geom = (bx, by, zg, bz, nbx2, nby, cells).  Cell order within each
+    bx-lane group column is block-major ((zl, yl) rows, xl lanes); groups
+    are independent chunk chains — all cross-cell scans mask at group
+    boundaries and the run carry is per lane.
+    """
+    bx, by, zg, bz, nbx2, nby, cells = geom
+    TRS, W = fv.shape
+
+    in_range = (fv >= jnp.float32(-2147483648.0)) & (
+        fv < jnp.float32(2147483648.0)
+    )
+    tr = jnp.trunc(jnp.where(in_range, fv, 0.0))
+    iv = jnp.where(in_range, tr.astype(I32), I32(INT32_MIN))
+
+    izero = iv == 0
+    is_byte = (iv > -125) & (iv < 125)
+    is_short = (iv >= -32768) & (iv <= 32767)
+    is_i3 = (iv >= -8388608) & (iv <= 8388607)
+
+    rows = jax.lax.broadcasted_iota(I32, (TRS, W), 0)
+    lane = jax.lax.broadcasted_iota(I32, (TRS, W), 1)
+    l8 = lane % 8
+    gl = lane % bx
+
+    # group-of-8 modes (8 | bx, so 8-groups never straddle block columns)
+    code = (
+        izero.astype(I32)
+        + (is_byte.astype(I32) << 4)
+        + (is_short.astype(I32) << 8)
+        + (is_i3.astype(I32) << 12)
+    )
+    y = code
+    for s in (1, 2, 4):
+        y = y + jnp.where(l8 < 8 - s, pltpu.roll(y, W - s, 1), 0)
+    nzero = y & 15
+    nb = (y >> 4) & 15
+    ns = (y >> 8) & 15
+    n3 = (y >> 12) & 15
+    nozero = nzero == 0
+    allbyte = nozero & (nb == 8)
+    allshort = nozero & ~allbyte & (ns == 8) & (nb + (8 - nb) * 3 > 17)
+    alli3 = (
+        nozero & ~allbyte & ~allshort & (n3 == 8)
+        & (nb + (ns - nb) * 3 + (8 - ns) * 4 > 25)
+    )
+    mode = jnp.where(allbyte, 1, jnp.where(allshort, 2, jnp.where(alli3, 3, 0)))
+    mode = jnp.where(l8 == 0, mode, 0)
+    mode = _group_or_broadcast_from_lane0(mode, l8, 8)
+
+    # block-major global cell index of every cell in the stripe
+    zloc = (zt % (bz // zg)) * zg + rows // by
+    yl = rows % by
+    bzi = zt // (bz // zg)
+    b = (bzi * nby + byi) * nbx2 + lane // bx
+    gidx = b * cells + (zloc * by + yl) * bx + gl
+    member = izero
+
+    # within-row, within-GROUP prefix of last-nonzero cell index
+    lnm = jnp.where(member, I32(-1), gidx)
+    lnm = _cumscan_max(lnm, 1, gl, I32(-1))
+    # group max broadcast to all lanes -> per-lane == per-column row max
+    gmax = _group_reverse_max(lnm, gl, bx, I32(-1))
+    rowcarry = _cumscan_max(gmax, 0, rows, I32(-1))
+    prev_rows = jnp.where(rows == 0, I32(-1), pltpu.roll(rowcarry, 1, 0))
+    cin = jnp.broadcast_to(carry_in, (TRS, W))
+    lastnm_glob = jnp.maximum(lnm, jnp.maximum(prev_rows, cin))
+    carry_out = jnp.maximum(carry_in, jnp.max(gmax, axis=0, keepdims=True))
+
+    block_base = (gidx // cells) * cells
+    lastnm = jnp.maximum(lastnm_glob, block_base - 1)
+    run_len = gidx - lastnm
+
+    # next cell in block-major order: (r, l+1) within the group, else the
+    # next row's group start, else (last row) the next tile's group start
+    mem_i = member.astype(I32)
+    a = jnp.where(gl < bx - 1, pltpu.roll(mem_i, W - 1, 1), 0)
+    g0 = jnp.where(gl == 0, mem_i, 0)
+    g0 = _group_or_broadcast_from_lane0(g0, gl, bx)
+    c = pltpu.roll(g0, TRS - 1, 0)  # next row's group-start member
+    n0 = jnp.where(gl == 0, nxt_row.astype(I32), 0)
+    n0 = _group_or_broadcast_from_lane0(n0, gl, bx)
+    nxt_member = jnp.where(
+        gl < bx - 1, a, jnp.where(rows < TRS - 1, c, n0)
+    ) != 0
+    block_end = (gidx + 1) % cells == 0
+    run_end = member & (block_end | ~nxt_member)
+
+    lane0 = l8 == 0
+    cb_ = is_byte & ~izero
+    cs_ = is_short & ~is_byte
+    c3_ = is_i3 & ~is_short
+    runcost = jnp.where(
+        run_len == 1, 1,
+        jnp.where(run_len < 256, 2, jnp.where(run_len <= MAX_RUN24, 4, 5)),
+    )
+    cost = jnp.where(
+        mode == 1, 1,
+        jnp.where(
+            mode == 2, jnp.where(lane0, 3, 2),
+            jnp.where(
+                mode == 3, jnp.where(lane0, 4, 3),
+                jnp.where(
+                    izero, jnp.where(run_end, runcost, 0),
+                    jnp.where(cb_, 1, jnp.where(cs_, 3, jnp.where(c3_, 4, 5))),
+                ),
+            ),
+        ),
+    ).astype(I32)
+
+    desc = (
+        cost
+        | (run_end.astype(I32) << 3)
+        | (jnp.minimum(run_len, MAX_RUN24) << 4)
+    )
+    return desc, cost, carry_out
+
+
+def _kernel_stripe(fv_ref, nxt_ref, desc_ref, carry_ref, *, geom):
+    byi = pl.program_id(0)
+    zt = pl.program_id(1)
+
+    @pl.when(zt == 0)
+    def _init():
+        carry_ref[0:1, :] = jnp.full_like(carry_ref[0:1, :], -1)
+
+    bx, by, zg, bz, nbx2, nby, cells = geom
+    W = nbx2 * bx
+    fv = fv_ref[:, 0, :, :].reshape(zg * by, W)
+    # next tile's first row, quantize-to-zero membership per lane
+    nr = nxt_ref[0, 0, 0, :]
+    nxt_row = ((nr > -1.0) & (nr < 1.0))[None, :]
+    desc, _cost, carry_out = _tile_desc_stripe(
+        fv, nxt_row, carry_ref[0:1, :], zt, byi, geom
+    )
+    carry_ref[0:1, :] = carry_out
+    for zl in range(zg):
+        desc_ref[zl, 0, :, :] = desc[zl * by : (zl + 1) * by, :]
+
+
+def stripe_path_ok(vol_shape3, block):
+    """Conditions for the stripe (bx < 128) direct-volume tiling."""
+    bx, by, bz = block
+    if bx >= 128 or bx < 8 or by < 8:
+        return False
+    zg = max(1, min(bz, 512 // by))
+    while bz % zg:
+        zg -= 1
+    return zg >= 1 and (bz % zg == 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("vol_shape3", "block", "interpret")
+)
+def tokenize_tiles_stripe(fvv, vol_shape3, block, interpret=False):
+    """fvv (nzp*nyp, nxp2) scaled VOLUME-ORDER plane (x-padded to 128-lane
+    alignment) -> desc (nzp*nyp, nxp2) int32 in the SAME volume order."""
+    nz, ny, nx = vol_shape3
+    bx, by, bz = block
+    from . import wavelet
+
+    nbz, nby, nbx = -(-nz // bz), -(-ny // by), -(-nx // bx)
+    nbx2 = wavelet.padded_nbx(nbx, bx)
+    nzp, nyp, W = nbz * bz, nby * by, nbx2 * bx
+    assert fvv.shape == (nzp * nyp, W)
+    zg = max(1, min(bz, 512 // by))
+    while bz % zg:
+        zg -= 1
+    ztiles = nbz * (bz // zg)
+    cells = bx * by * bz
+    geom = (bx, by, zg, bz, nbx2, nby, cells)
+    v4 = fvv.reshape(nzp, nby, by, W)
+
+    def in_map(byi, zt):
+        return (zt, byi, 0, 0)
+
+    def look_map(byi, zt):
+        # window block extent along z is 1, so its index is an ABSOLUTE
+        # z row (the main spec's unit is zg)
+        return (jnp.minimum(zt + 1, ztiles - 1) * zg, byi, 0, 0)
+
+    desc = pl.pallas_call(
+        functools.partial(_kernel_stripe, geom=geom),
+        grid=(nby, ztiles),
+        in_specs=[
+            pl.BlockSpec((zg, 1, by, W), in_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, W), look_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((zg, 1, by, W), in_map,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nzp, nby, by, W), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((8, W), jnp.int32)],
+        interpret=interpret,
+    )(v4, v4)
+    return desc.reshape(nzp * nyp, W)
 # coefficient plane directly via BlockSpec index arithmetic — chunk rows
 # for bx >= 128 are contiguous x-runs, so a (zg, by, bx) slab of the
 # padded volume IS a tile of TR consecutive block-major chunks.  The
@@ -492,6 +724,54 @@ def tokenize_tiles_volume(fvv, vol_shape3, block, interpret=False):
         interpret=interpret,
     )(v3, v3)
     return desc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("vol_shape3", "block", "interpret")
+)
+def tokenize_desc_stripe_fast(fvv, vol_shape3, block, interpret=False):
+    """Stripe-path producer: (desc_vol, chunk_bytes, sizes, raw, counts).
+
+    desc_vol stays in VOLUME order (pack row-gathers it through the
+    stripe rowmap); chunk_bytes/sizes/raw/counts are block-major — the
+    permute moves bytes/128 of a data relayout (a small i32 transpose).
+    """
+    from . import rle_device, wavelet
+
+    nz, ny, nx = vol_shape3
+    bx, by, bz = block
+    nbz, nby, nbx = -(-nz // bz), -(-ny // by), -(-nx // bx)
+    nbx2 = wavelet.padded_nbx(nbx, bx)
+    rpc = LANES // bx  # x-rows per chunk
+    cells = bx * by * bz
+    cpb = cells // LANES
+    nnn = nbz * nby * nbx
+    desc = tokenize_tiles_stripe(fvv, vol_shape3, block, interpret=interpret)
+
+    R = desc.shape[0]
+    cost = desc & 7
+    per_xrow = cost.reshape(R, nbx2, bx).sum(-1)
+    per_chunk = per_xrow.reshape(R // rpc, rpc, nbx2).sum(1)
+    # volume (z, y-quad, x-block) -> block-major chunk order; phantom
+    # x-pad columns drop in the slice
+    cb6 = per_chunk.reshape(nbz, bz, nby, by // rpc, nbx2)
+    chunk_bytes = (
+        cb6.transpose(0, 2, 4, 1, 3)[:, :, :nbx]
+        .reshape(nnn, cpb)
+    )
+    sizes0 = chunk_bytes.sum(-1)
+    raw = sizes0 > 4 * cells
+    sizes = jnp.where(raw, I32(4 * cells), sizes0)
+    chunk_bytes = jnp.where(
+        raw[:, None], I32(0), chunk_bytes
+    ).reshape(nnn * cpb)
+    active = chunk_bytes > 0
+    acount = active.sum(dtype=I32)
+    lcount = (
+        (chunk_bytes + (rle_device.SUBROW - 1)) // rle_device.SUBROW
+    ).sum(dtype=I32)
+    counts = jnp.stack([acount, lcount])
+    return desc, chunk_bytes, sizes, raw, counts
 
 
 @functools.partial(

@@ -229,17 +229,21 @@ def apply_x_inverse_rows(rows, bx):
     return apply_x_rows(rows, bx, inverse=True)
 
 
-def forward_3d_volume(vol, vol_shape3, block):
+def forward_3d_volume(vol, vol_shape3, block, pad_x_blocks=False):
     """Forward transform in VOLUME order: padded (nzp*nyp, nxp) plane.
 
     No block-major permutation anywhere — x (block-diagonal, full lane
     width), then y, then z contractions applied in place (the reference's
-    axis order, Wavelet_Transform_Slow.cpp:275-279).  The bx>=128 tokenize
-    path consumes this plane directly via BlockSpec index arithmetic.
+    axis order, Wavelet_Transform_Slow.cpp:275-279).  The direct-volume
+    tokenize paths consume this plane via BlockSpec index arithmetic.
+    `pad_x_blocks` adds all-zero x-blocks up to 128-lane alignment
+    (padded_nbx) — phantom block columns that downstream stages drop.
     """
     nz, ny, nx = vol_shape3
     bx, by, bz = block
     nbz, nby, nbx = -(-nz // bz), -(-ny // by), -(-nx // bx)
+    if pad_x_blocks:
+        nbx = padded_nbx(nbx, bx)
     nzp, nyp, nxp = nbz * bz, nby * by, nbx * bx
     hi = jax.lax.Precision.HIGHEST
     a = jnp.pad(vol, ((0, nzp - nz), (0, nyp - ny), (0, nxp - nx)))

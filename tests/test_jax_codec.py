@@ -251,6 +251,72 @@ def test_volume_compress_path_container_parity(monkeypatch, rng):
     np.testing.assert_array_equal(ref, got)
 
 
+def test_stripe_tokenize_matches_blockmajor_interpret(rng):
+    """The bx<128 stripe tiling produces the same descriptors (gathered to
+    chunk order) and byte accounting as the block-major kernel on the SAME
+    values (interpret mode)."""
+    import jax.numpy as jnp
+
+    from cvxcompress_tpu.ops import tokenize_pallas as tp
+
+    shape, block = (64, 96, 96), (32, 32, 32)
+    assert tp.stripe_path_ok(shape, block)
+    nbz, nby, nbx = 2, 3, 3
+    nbx2 = 4  # padded_nbx(3, 32) with 128-lane alignment
+    R, W = 64 * 96, nbx2 * 32
+    fvv = np.zeros((R, W), np.float32)
+    real = (rng.standard_normal((R, nbx * 32)) * 50).astype(np.float32)
+    real[rng.random(real.shape) < 0.85] = 0.0
+    fvv[:, : nbx * 32] = real
+
+    d_v, cb_v, sz_v, raw_v, cnt_v = tp.tokenize_desc_stripe_fast(
+        jnp.asarray(fvv), shape, block, interpret=True
+    )
+
+    # same values in block-major chunk order via the stripe rowmap
+    rowmap = jcodec.stripe_rowmap(shape, block)
+    nchunks = nbz * nby * nbx * (32 * 32 * 32 // 128)
+    rows = np.asarray(rowmap(np.arange(nchunks, dtype=np.int64)))
+    fvp = np.zeros((tp.pad_rows2(nchunks), 128), np.float32)
+    fvp[:nchunks] = fvv.reshape(-1, 32)[rows.reshape(-1)].reshape(nchunks, 128)
+    d_b, cb_b, sz_b, raw_b, cnt_b = tp.tokenize_desc_fast2(
+        jnp.asarray(fvp), nbz * nby * nbx, 32 * 32 * 32 // 128, 128,
+        interpret=True,
+    )
+    got_desc = np.asarray(d_v).reshape(-1, 32)[rows.reshape(-1)].reshape(
+        nchunks, 128
+    )
+    np.testing.assert_array_equal(got_desc, np.asarray(d_b))
+    np.testing.assert_array_equal(np.asarray(cb_v), np.asarray(cb_b))
+    np.testing.assert_array_equal(np.asarray(sz_v), np.asarray(sz_b))
+    np.testing.assert_array_equal(np.asarray(raw_v), np.asarray(raw_b))
+    np.testing.assert_array_equal(np.asarray(cnt_v), np.asarray(cnt_b))
+
+
+def test_stripe_compress_path_container_parity(monkeypatch):
+    """compress() through the bx<128 stripe fast path emits the same
+    container as the standard path (interpret-mode kernels on CPU)."""
+    import jax.experimental.pallas as pl
+
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+
+    shape, block = (64, 96, 96), (32, 32, 32)
+    vol = make_sinusoid_volume(*shape, periods=3)
+    ref, _ = jcodec.compress(vol, 1e-2, block=block)  # standard CPU path
+
+    monkeypatch.setenv("CVX_STRIPE", "1")
+    monkeypatch.setattr(jcodec, "use_pallas", lambda: True)
+    assert jcodec._use_stripe_path(shape, block, False, 128)
+    got, _ = jcodec.compress(vol, 1e-2, block=block)
+    np.testing.assert_array_equal(ref, got)
+
+
 def test_fused_tokenize_compact_interpret(rng):
     """Fused tokenize+compact kernel vs dense kernel path (interpret mode).
 
