@@ -240,6 +240,7 @@ def bench_snapshots(vol, block, scale, rtt, iters=6):
 def bench_quality(vol, block, scale):
     from cvxcompress_tpu.ops import codec as jcodec
 
+    jcodec.compress(vol, scale, block=block)  # warm (compiles, lib loads)
     data, ratio = jcodec.compress(vol, scale, block=block)
     out = jcodec.decompress(data)
     o = vol.astype(np.float64)

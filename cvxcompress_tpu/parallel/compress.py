@@ -252,13 +252,23 @@ def _inv_stage(mesh):
 
 
 def decompress(data, mesh=None):
-    """Sharded decompress: host entropy decode, sharded inverse wavelet."""
+    """Sharded decompress: host entropy decode, sharded inverse wavelet.
+
+    On a single-device mesh this delegates to the device-complete
+    single-chip engine (entropy parse on device); the multi-chip path
+    still host-decodes — wiring ops.entropy_decode through shard_map is a
+    known next step (STATUS.md).
+    """
     from ..ops.codec import _decode_payloads_host
 
     hdr, blkoffs, blkmulfac, payload_base = ctn.unpack(data)
     if mesh is None:
         mesh = meshlib.make_mesh()
     n_shards = mesh.devices.size
+    if n_shards == 1:
+        from ..ops import codec as _codec
+
+        return _codec.decompress(data)
     coeffs = _decode_payloads_host(data, hdr, blkoffs, blkmulfac, payload_base)
     nnn = coeffs.shape[0]
     pad = meshlib.pad_to_shards(nnn, n_shards)
