@@ -143,6 +143,93 @@ def test_decompress_engine_parity():
     assert err < 2e-4
 
 
+def synthetic_container(payload, cells, bx=8, by=8, bz=8, mulfac=2.5):
+    """Wrap one hand-built block payload into a minimal valid container."""
+    hdr = ctn.Header(bx, by, bz, bx, by, bz, np.float32(mulfac), False)
+    return ctn.pack(hdr, [payload], [False])
+
+
+def test_decode_handcrafted_boundary_straddles():
+    """Hand-built streams where every token class straddles subsegment
+    (32 B) boundaries at every feasible offset — the transfer-map entry
+    hypotheses (E=25) all get exercised, not just encoder-typical layouts.
+    Validated against the oracle decoder, then bit-exact on device."""
+    cells = 512
+    rng = np.random.default_rng(7)
+
+    def stream_of(tokens):
+        return b"".join(tokens)
+
+    def vl2(v):
+        return bytes([0x83]) + int(v & 0xFFFF).to_bytes(2, "little")
+
+    def vl3(v):
+        return bytes([0x81]) + int(v & 0xFFFFFF).to_bytes(3, "little")
+
+    def vl4(f):
+        return bytes([0x80]) + np.float32(f).tobytes()
+
+    def vl2x8(vals):
+        return bytes([0x82]) + np.asarray(vals, "<i2").tobytes()
+
+    def vl3x8(vals):
+        return bytes([0x7E]) + b"".join(
+            int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals
+        )
+
+    def rle1(run):
+        return bytes([0x7F, run])
+
+    def rle3(run):
+        return bytes([0x7D]) + int(run).to_bytes(3, "little")
+
+    cases = []
+    # 25-byte tokens cycle the entry offset through every residue mod 32
+    toks = [vl3x8(rng.integers(-(1 << 22), 1 << 22, 8)) for _ in range(32)]
+    need = cells - 8 * len(toks)
+    toks.append(rle3(need))
+    cases.append(stream_of(toks))
+    # 17-byte tokens cycle through odd residues; pad out with runs
+    toks = [vl2x8(rng.integers(-30000, 30000, 8)) for _ in range(30)]
+    toks.append(rle3(cells - 8 * len(toks)))
+    cases.append(stream_of(toks))
+    # mixed single-value escapes drifting across boundaries (+VLESC4 floats)
+    toks = []
+    emitted = 0
+    k = 0
+    while emitted < cells - 40:
+        toks.append([vl2(200 + k), vl3(70000 + k), vl4(3e9 + k * 1e6),
+                     rle1(3), bytes([k % 120 + 1])][k % 5])
+        emitted += [1, 1, 1, 3, 1][k % 5]
+        k += 1
+    toks.append(rle3(cells - emitted))
+    cases.append(stream_of(toks))
+    # runs ending exactly on / one before / one after boundaries
+    toks = []
+    emitted = 0
+    for run in (31, 32, 33, 255, 1, 2):  # runs ending around boundaries
+        toks.append(bytes([5]))
+        toks.append(rle1(run))
+        emitted += 1 + run
+    toks.append(vl3(300))
+    toks.append(rle3(cells - emitted - 1))  # a >=256 run via RLESC3
+    cases.append(stream_of(toks))
+
+    from cvxcompress_tpu.oracle import rle as orle
+
+    for payload in cases:
+        want, used = orle.decode(2.5, payload + b"\x00" * 8, cells)
+        assert used == len(payload)
+        data = synthetic_container(np.frombuffer(payload, np.uint8), cells)
+        assert_bit_exact(data)
+        # and the whole thing equals the oracle's values (single 8^3 block:
+        # plane rows are (z,y), real lanes 0..7)
+        got = np.ascontiguousarray(device_plane(data)[:64, :8]).reshape(-1)
+        np.testing.assert_array_equal(
+            got.view(np.uint32), want.view(np.uint32)
+        )
+
+
 def test_chase_kernel_interpret(rng):
     """The (experimental, opt-in) Pallas scalar-chase kernel matches the
     sequential reference chase — exercised in interpret mode; the compiled
