@@ -255,28 +255,10 @@ def _chase_pallas(T, NV, reset, cells):
     return e32[:nsub, 0], c32[:nsub, 0]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("vol_shape", "block", "nseg_s")
-)
-def decode_to_volume(segs, sub_block, sub_reset, scalefac, vol_shape, block,
-                     nseg_s):
-    """Device parse: segment rows -> padded VOLUME-ORDER coefficient plane.
-
-    Returns (nzp*nyp, nxp) float32 — dequantized wavelet coefficients in
-    volume order, ready for the relayout-free inverse
-    (wavelet.inverse_3d_volume after the x contraction).
-    """
-    del nseg_s  # shapes are already static via segs
-    nz, ny, nx = vol_shape
-    bx, by, bz = block
-    from . import wavelet
-
-    nbz, nby, nbx = -(-nz // bz), -(-ny // by), -(-nx // bx)
-    # extra all-zero x-blocks for 128-lane alignment: the x contraction
-    # and everything downstream run on full-tile operands
-    nbx2 = wavelet.padded_nbx(nbx, bx)
-    nzp, nyp, nxp = nbz * bz, nby * by, nbx2 * bx
-    cells = bx * by * bz
+def _parse_stages(segs, sub_reset, cells):
+    """Shared parse: byte planes, subsegment bit-DP, transfer maps, and
+    the cross-subsegment entry/cursor recurrence.  Returns
+    (M, e32, c32, vals_s, sv, Bx) for the emit stage."""
     nseg = segs.shape[0]
     nsub = nseg * SPS
     CAP = jnp.int32(cells)
@@ -334,10 +316,7 @@ def decode_to_volume(segs, sub_block, sub_reset, scalefac, vol_shape, block,
     # ---- 2. cross-subsegment entry/cursor recurrence --------------------
     if _use_chase_kernel():
         e32, c32 = _chase_pallas(T, NV, sub_reset, cells)
-        return _emit_and_scatter(
-            M, e32, c32, vals_s, sv, Bx, scalefac, sub_block,
-            vol_shape, block,
-        )
+        return M, e32, c32, vals_s, sv, Bx
     # XLA path (CPU / non-TPU): segmented scan of index-table maps
 
     def sel2(tab_t, tab_v, idx):
@@ -406,23 +385,34 @@ def decode_to_volume(segs, sub_block, sub_reset, scalefac, vol_shape, block,
     e32 = e32.reshape(nsub)
     c32 = c32.reshape(nsub)
 
+    return M, e32, c32, vals_s, sv, Bx
+
+
+@functools.partial(
+    jax.jit, static_argnames=("vol_shape", "block", "nseg_s")
+)
+def decode_to_volume(segs, sub_block, sub_reset, scalefac, vol_shape, block,
+                     nseg_s):
+    """Device parse: segment rows -> padded VOLUME-ORDER coefficient plane.
+
+    Returns (nzp*nyp, nxp2) float32 — dequantized wavelet coefficients in
+    volume order (x-padded to 128-lane alignment), ready for the
+    relayout-free inverse (apply_x_inverse_rows + inverse_3d_volume).
+    """
+    del nseg_s  # shapes are already static via segs
+    bx, by, bz = block
+    cells = bx * by * bz
+    M, e32, c32, vals_s, sv, Bx = _parse_stages(segs, sub_reset, cells)
     return _emit_and_scatter(
         M, e32, c32, vals_s, sv, Bx, scalefac, sub_block, vol_shape, block
     )
 
 
-def _emit_and_scatter(M, e32, c32, vals_s, sv, Bx, scalefac, sub_block,
-                      vol_shape, block):
-    """Per-byte decode + volume-order scatter (shared by both entry-state
-    engines: the Pallas scalar chase and the XLA segmented scan)."""
-    from . import wavelet
 
-    nz, ny, nx = vol_shape
-    bx, by, bz = block
-    nbz, nby, nbx = -(-nz // bz), -(-ny // by), -(-nx // bx)
-    nbx2 = wavelet.padded_nbx(nbx, bx)
-    nzp, nyp, nxp = nbz * bz, nby * by, nbx2 * bx
-    cells = bx * by * bz
+def _emit_values(M, e32, c32, vals_s, sv, Bx, scalefac, cells):
+    """Per-byte decode to (emit, val, pos) planes over (nseg, SEG): which
+    bytes carry an output value, the dequantized value, and its
+    block-major cell position (shared by both scatter layouts)."""
     CAP = jnp.int32(cells)
     nseg = Bx.shape[0]
     b0 = Bx[:, :SEG]
@@ -500,8 +490,24 @@ def _emit_and_scatter(M, e32, c32, vals_s, sv, Bx, scalefac, sub_block,
         pos = jnp.where(m24, shifted(b24x, 1 + 3 * j) + j, pos)
 
     emit = emit & (pos < CAP)
+    return emit, val, pos
 
-    # ---- 4. scatter into the padded volume, in VOLUME order -------------
+
+def _emit_and_scatter(M, e32, c32, vals_s, sv, Bx, scalefac, sub_block,
+                      vol_shape, block):
+    """Emit + scatter into the padded volume, in VOLUME order."""
+    from . import wavelet
+
+    nz, ny, nx = vol_shape
+    bx, by, bz = block
+    nbz, nby, nbx = -(-nz // bz), -(-ny // by), -(-nx // bx)
+    nbx2 = wavelet.padded_nbx(nbx, bx)
+    nzp, nyp, nxp = nbz * bz, nby * by, nbx2 * bx
+    cells = bx * by * bz
+    nseg = Bx.shape[0]
+    emit, val, pos = _emit_values(
+        M, e32, c32, vals_s, sv, Bx, scalefac, cells
+    )
     b = jnp.broadcast_to(
         sub_block.reshape(nseg, SPS, 1), (nseg, SPS, W)
     ).reshape(nseg, SEG)
@@ -517,6 +523,39 @@ def _emit_and_scatter(M, e32, c32, vals_s, sv, Bx, scalefac, sub_block,
     out = jnp.zeros((total + 1,), jnp.float32)
     out = out.at[idx].set(val.reshape(-1), mode="drop")
     return out[:total].reshape(nzp * nyp, nxp)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nblocks", "block", "nseg_s")
+)
+def decode_to_blocks(segs, sub_block, sub_reset, scalefac, nblocks, block,
+                     nseg_s):
+    """Device parse -> dense BLOCK-MAJOR coefficients (nblocks, cells).
+
+    The multi-chip layer's per-shard form: block ids in `sub_block` are
+    SHARD-LOCAL, the scatter target is the shard's block batch (no volume
+    geometry involved), and the inverse wavelet runs on the batch.  All
+    parse machinery is shared with decode_to_volume.
+    """
+    del nseg_s
+    bx, by, bz = block
+    cells = bx * by * bz
+    M, e32, c32, vals_s, sv, Bx = _parse_stages(
+        segs, sub_reset, cells
+    )
+    emit, val, pos = _emit_values(
+        M, e32, c32, vals_s, sv, Bx, scalefac, cells
+    )
+    nseg = segs.shape[0]
+    b = jnp.broadcast_to(
+        sub_block.reshape(nseg, SPS, 1), (nseg, SPS, W)
+    ).reshape(nseg, SEG)
+    total = nblocks * cells
+    tgt = b * cells + pos
+    idx = jnp.where(emit, tgt, total).reshape(-1)
+    out = jnp.zeros((total + 1,), jnp.float32)
+    out = out.at[idx].set(val.reshape(-1), mode="drop")
+    return out[:total].reshape(nblocks, cells)
 
 
 @functools.partial(jax.jit, static_argnames=("vol_shape", "block"))

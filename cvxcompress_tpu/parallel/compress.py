@@ -251,16 +251,88 @@ def _inv_stage(mesh):
     return jax.jit(sm)
 
 
+@functools.lru_cache(maxsize=None)
+def _decode_inv_stage(mesh, block, bps, sseg):
+    """Per-shard DEVICE entropy parse + inverse wavelet (SPMD).
+
+    Each shard parses its own segment slice (block ids shard-local) into a
+    dense block batch and inverts it — the multi-chip twin of the
+    single-chip device-complete decompress.
+    """
+    from ..ops import entropy_decode as ed
+
+    bx, by, bz = block
+
+    def run(segs, sblk, srst, ssf):
+        dense = ed.decode_to_blocks.__wrapped__(
+            segs[0], sblk[0], srst[0], ssf[0], bps, (bx, by, bz), sseg
+        )
+        out = wavelet.inverse_3d(dense.reshape(bps, bz, by, bx))
+        return out[None]
+
+    sm = shard_map(
+        run, mesh=mesh,
+        in_specs=(
+            P(meshlib.BLOCK_AXIS, None, None),
+            P(meshlib.BLOCK_AXIS, None),
+            P(meshlib.BLOCK_AXIS, None),
+            P(meshlib.BLOCK_AXIS, None),
+        ),
+        out_specs=P(meshlib.BLOCK_AXIS, None, None, None),
+        check_vma=False,
+    )
+    return jax.jit(sm)
+
+
+def _shard_decode_plan(data, nnn, cells, n_shards):
+    """Host: global segment plan -> per-shard slices (rebased block ids).
+
+    Returns None when the container needs the host decoder (raw blocks or
+    degenerate spans).  Subsegments are block-sorted, so each shard's
+    slice is one contiguous run; slices pad to a uniform whole-row count
+    with inert rows (local block id = bps -> scatter targets discard).
+    """
+    from ..ops import entropy_decode as ed
+
+    p = ed.plan(data)
+    if p is None or p["raw_ids"].size:
+        return None
+    bps = (nnn + meshlib.pad_to_shards(nnn, n_shards)) // n_shards
+    sub_block = p["sub_block"]
+    subs32 = p["segs"].reshape(-1, ed.W)
+    bounds = np.searchsorted(
+        sub_block, np.arange(n_shards + 1) * bps, side="left"
+    )
+    counts = np.diff(bounds)
+    smax = -(-int(counts.max()) // ed.SPS) * ed.SPS  # whole 512-B rows
+    smax = max(smax, ed.SPS)
+    segs = np.zeros((n_shards, smax // ed.SPS, ed.SEG), np.uint8)
+    sblk = np.full((n_shards, smax), bps, np.int32)
+    srst = np.ones((n_shards, smax), bool)
+    ssf = np.ones((n_shards, smax), np.float32)
+    for s in range(n_shards):
+        r0, r1 = int(bounds[s]), int(bounds[s + 1])
+        k = r1 - r0
+        segs[s].reshape(-1, ed.W)[:k] = subs32[r0:r1]
+        sblk[s, :k] = sub_block[r0:r1] - s * bps
+        srst[s, :k] = p["sub_reset"][r0:r1]
+        ssf[s, :k] = p["scalefac"][r0:r1]
+    return {
+        "segs": segs, "sblk": sblk, "srst": srst, "ssf": ssf,
+        "bps": bps, "sseg": smax // ed.SPS,
+    }
+
+
 def decompress(data, mesh=None):
-    """Sharded decompress: host entropy decode, sharded inverse wavelet.
+    """Sharded decompress with the DEVICE entropy parse per shard.
 
     On a single-device mesh this delegates to the device-complete
-    single-chip engine (entropy parse on device); the multi-chip path
-    still host-decodes — wiring ops.entropy_decode through shard_map is a
-    known next step (STATUS.md).
+    single-chip engine; multi-chip, each shard parses its own segment
+    slice (ops.entropy_decode through shard_map) and inverts its block
+    batch — only the container parse and the per-shard segment memcpy run
+    on host.  Containers with raw-fallback blocks take the host-decode
+    path.
     """
-    from ..ops.codec import _decode_payloads_host
-
     hdr, blkoffs, blkmulfac, payload_base = ctn.unpack(data)
     if mesh is None:
         mesh = meshlib.make_mesh()
@@ -269,8 +341,26 @@ def decompress(data, mesh=None):
         from ..ops import codec as _codec
 
         return _codec.decompress(data)
+    block = (hdr.bx, hdr.by, hdr.bz)
+    cells = hdr.bx * hdr.by * hdr.bz
+    nnn = hdr.grid[3]
+
+    sp = _shard_decode_plan(data, nnn, cells, n_shards)
+    if sp is not None:
+        sh = jax.sharding.NamedSharding(mesh, P(meshlib.BLOCK_AXIS))
+        args = [
+            jax.device_put(sp[k], sh) for k in ("segs", "sblk", "srst", "ssf")
+        ]
+        out_blocks = np.asarray(
+            _decode_inv_stage(mesh, block, sp["bps"], sp["sseg"])(*args)
+        ).reshape(-1, hdr.bz, hdr.by, hdr.bx)[:nnn]
+        return blkops.from_blocks_np(
+            out_blocks, (hdr.nz, hdr.ny, hdr.nx), block
+        )
+
+    from ..ops.codec import _decode_payloads_host
+
     coeffs = _decode_payloads_host(data, hdr, blkoffs, blkmulfac, payload_base)
-    nnn = coeffs.shape[0]
     pad = meshlib.pad_to_shards(nnn, n_shards)
     if pad:
         coeffs = np.concatenate(

@@ -100,3 +100,34 @@ def test_pad_blocks_roundtrip():
     dp, _ = pcompress.compress(vol, 1e-2, block=(8, 8, 8), mesh=mesh)
     ds, _ = jcodec.compress(vol, 1e-2, block=(8, 8, 8))
     np.testing.assert_array_equal(dp, ds)
+
+
+def test_sharded_decompress_uses_device_parse(rng):
+    """Multi-chip decompress engages the per-shard device entropy parse
+    (plan succeeds) and matches the single-chip engine; raw-fallback
+    containers take the host-decode path and still match."""
+    vol = make_radial_volume(nz=32, ny=24, nx=24)
+    data, _ = jcodec.compress(vol, 1e-2, block=(8, 8, 8))
+    mesh = meshlib.make_mesh()
+    n = mesh.devices.size
+    hdr = jcodec.ctn.unpack(data)[0]
+    sp = pcompress._shard_decode_plan(data, hdr.grid[3], 512, n)
+    assert sp is not None  # the device-parse plan engages
+    out_p = pcompress.decompress(data, mesh=mesh)
+    out_s = jcodec.decompress(data)
+    denom = np.sqrt(np.mean(out_s.astype(np.float64) ** 2)) + 1e-30
+    rel = np.sqrt(np.mean((out_p - out_s).astype(np.float64) ** 2)) / denom
+    assert rel < 1e-6, rel
+
+    # raw-fallback container: host path, same answer
+    big = (rng.standard_normal((16, 16, 32)) * 1e9).astype(np.float32)
+    dr, _ = jcodec.compress(big, 1e-9, block=(8, 8, 8))
+    assert pcompress._shard_decode_plan(
+        dr, jcodec.ctn.unpack(dr)[0].grid[3], 512, n
+    ) is None
+    a = pcompress.decompress(dr, mesh=mesh)
+    b = jcodec.decompress(dr)
+    rel = np.sqrt(np.mean((a - b).astype(np.float64) ** 2)) / (
+        np.sqrt(np.mean(b.astype(np.float64) ** 2)) + 1e-30
+    )
+    assert rel < 1e-6, rel
