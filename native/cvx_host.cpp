@@ -622,9 +622,23 @@ static float host_compress(float scale, const float* vol, int nx, int ny,
       wav_fwd_block_ex(blk.data(), tmp.data(), bx, by, bz, parity);
       float mf = glob_mulfac;
       if (use_local_rms) {
-        double ss = 0.0;
-        for (int64_t c = 0; c < cells; ++c) ss += (double)blk[c] * blk[c];
-        const float lrms = (float)std::sqrt(ss / (double)cells);
+        float lrms;
+        if (parity) {
+          // the reference's plain-AVX lane accumulation order
+          // (Compute_Local_RMS, CvxCompress.cpp:119-142): 8 strided f32
+          // lane sums, hadd-tree reduction, sqrtf(v/cells)
+          float lane[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+          for (int64_t c = 0; c < cells; c += 8)
+            for (int l = 0; l < 8; ++l)
+              lane[l] = lane[l] + blk[c + l] * blk[c + l];
+          const float ss = ((lane[0] + lane[1]) + (lane[2] + lane[3])) +
+                           ((lane[4] + lane[5]) + (lane[6] + lane[7]));
+          lrms = sqrtf(ss / (float)cells);
+        } else {
+          double ss = 0.0;
+          for (int64_t c = 0; c < cells; ++c) ss += (double)blk[c] * blk[c];
+          lrms = (float)std::sqrt(ss / (double)cells);
+        }
         mf = lrms != 0.0f ? 1.0f / (lrms * scale) : 1.0f;
         if (!std::isfinite(mf)) mf = 1.0f;
         blkmulfac[i] = mf;

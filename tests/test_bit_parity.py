@@ -75,6 +75,53 @@ def test_inverse_bit_parity(ref_lib, native):  # noqa: F811
     np.testing.assert_array_equal(c.view(np.uint32), d.view(np.uint32))
 
 
+def test_local_rms_bit_parity(ref_lib, native):  # noqa: F811
+    """Local-RMS containers: the parity engine replicates the reference's
+    f32 SIMD-lane RMS accumulation (Compute_Local_RMS,
+    CvxCompress.cpp:119-142) — per-block mulfac tables and coefficient
+    streams are bit-identical."""
+    import ctypes
+
+    f32p = ctypes.POINTER(ctypes.c_float)
+    u32p = ctypes.POINTER(ctypes.c_uint)
+    ref_lib.cvx_compress_th.restype = ctypes.c_float
+    ref_lib.cvx_compress_th.argtypes = [
+        ctypes.c_float, f32p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_bool, u32p, ctypes.c_int, ctypes.POINTER(ctypes.c_long),
+    ]
+
+    vol = make_radial_volume(32, 32, 64)
+    nz, ny, nx = vol.shape
+    out = np.zeros(vol.nbytes * 2 + (1 << 16), dtype=np.uint8)
+    length = ctypes.c_long(0)
+    ref_lib.cvx_compress_th(
+        ctypes.c_float(1e-2), vol.ctypes.data_as(f32p),
+        nx, ny, nz, 16, 16, 16, ctypes.c_bool(True),
+        out.ctypes.data_as(u32p), 4, ctypes.byref(length),
+    )
+    ref = out[: length.value].copy()
+    ours, _ = native.host_compress(vol, 1e-2, block=(16, 16, 16),
+                                   use_local_rms=True, parity=True)
+    # identical per-block mulfac tables...
+    h_r, _, mf_r, _ = ctn.unpack(ref)
+    h_o, _, mf_o, _ = ctn.unpack(ours)
+    np.testing.assert_array_equal(
+        mf_o.view(np.uint32), mf_r.view(np.uint32)
+    )
+    # ...identical decoded coefficient streams and container size
+    np.testing.assert_array_equal(
+        decoded_coeffs(ours).view(np.uint32),
+        decoded_coeffs(ref).view(np.uint32),
+    )
+    assert ours.size == ref.size
+    # and bit-identical decompressed floats via the parity inverse
+    a = native.host_decompress(ref, parity=True)
+    b = ref_decompress(ref_lib, ref)
+    np.testing.assert_array_equal(a.view(np.uint32), b.view(np.uint32))
+
+
 def test_parity_engine_roundtrip_quality(native):
     vol = make_sinusoid_volume(64, 32, 32, periods=3)
     data, ratio = native.host_compress(vol, 1e-2, block=(32, 32, 32),
