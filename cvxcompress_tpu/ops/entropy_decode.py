@@ -39,7 +39,10 @@ every post-end emission fails the `pos < cells` mask.
 
 Everything is fixed-shape, branch-free XLA; cost scales with payload size
 (compressed bytes), not volume size.  Raw-fallback blocks are rare and are
-overlaid by `overlay_raw`.
+overlaid by `overlay_raw`.  Two scatter layouts share the parse stages:
+`decode_to_volume` (single-chip: straight into the padded volume) and
+`decode_to_blocks` (multi-chip: a shard-local block batch for the
+shard_map path in parallel/compress.py).
 
 Byte-exactness: emitted values are float(int32) * (1.0f/mulfac) with the
 same single f32 rounding as the reference decoder; tests assert the
