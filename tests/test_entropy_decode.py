@@ -143,6 +143,24 @@ def test_decompress_engine_parity():
     assert err < 2e-4
 
 
+def test_decode_corrupt_payload_never_crashes(rng):
+    """Bit-flipped payload bytes must decode to SOMETHING (garbage values,
+    bounded positions) without raising: the device parse is fixed-shape,
+    saturating, and drop-masked by construction."""
+    vol = make_radial_volume(16, 16, 32)
+    data, _ = jcodec.compress(vol, 1e-2, block=(16, 16, 16))
+    _, _, _, pbase = ctn.unpack(data)
+    for seed in range(5):
+        bad = data.copy()
+        r = np.random.default_rng(seed)
+        flips = r.integers(pbase, data.size - 8, 20)
+        bad[flips] ^= r.integers(1, 255, 20).astype(np.uint8)
+        plane = device_plane(bad)  # must not raise
+        assert plane.shape == (16 * 16, 128)  # x-padded to 128 lanes
+        # scatter targets stay inside the two real block columns
+        np.testing.assert_array_equal(plane[:, 32:], 0.0)
+
+
 def synthetic_container(payload, cells, bx=8, by=8, bz=8, mulfac=2.5):
     """Wrap one hand-built block payload into a minimal valid container."""
     hdr = ctn.Header(bx, by, bz, bx, by, bz, np.float32(mulfac), False)
