@@ -238,9 +238,15 @@ class DeviceSnapshotStack:
         """Append a snapshot decoded from a byte-stream container.
 
         The container must be global-RMS with this stack's volume shape and
-        block dims.  Exact: the scaled integers are recovered from the
-        tokens directly (no dequantize/requantize round trip), so `get` on
-        the new snapshot matches `decompress(data)` bit-for-bit.
+        block dims.  Exact for token-coded blocks: the scaled integers are
+        recovered from the tokens directly (no dequantize/requantize round
+        trip), so `get` on the new snapshot matches `decompress(data)`
+        bit-for-bit.  Raw-fallback blocks (rare) store DEQUANTIZED
+        coefficients that bypass the decoder's scalefac
+        (CvxCompress.cpp:552-555); they are re-scaled by the header mulfac
+        into the stack's fiv representation here, so their reconstruction
+        matches `decompress(data)` to one f32 rounding (~1 ulp), not
+        bit-for-bit.
         """
         from .ops import codec as _codec
         from .utils import io as _io
@@ -260,6 +266,14 @@ class DeviceSnapshotStack:
                              F32(1.0), False),
             blkoffs, None, pbase,
         )
+        is_raw = np.asarray(blkoffs, dtype=np.int64) < 0
+        if is_raw.any():
+            # raw payloads came back verbatim (unscaled coefficients, not
+            # fiv rows): restore the fiv representation the stack's
+            # dequantizing get() expects
+            fiv[is_raw] = (
+                fiv[is_raw] * F32(hdr.glob_mulfac)
+            ).astype(F32)
         cells = hdr.bx * hdr.by * hdr.bz
         rows = fiv.reshape(-1, self.chunk)
         live = rows.any(axis=1)

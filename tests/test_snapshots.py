@@ -92,6 +92,63 @@ def test_snapshot_from_container_bit_exact():
     np.testing.assert_array_equal(snap.view(np.uint32), ref.view(np.uint32))
 
 
+def test_snapshot_from_container_raw_blocks(rng):
+    """Containers with raw-fallback blocks ingest correctly: raw payloads
+    (unscaled coefficients, CvxCompress.cpp:552-555) are re-scaled into
+    the fiv representation, so get() matches decompress(data) to f32
+    rounding instead of being off by a factor of mulfac."""
+    import cvxcompress_tpu as cvx
+    from cvxcompress_tpu import container as ctn
+
+    # half the volume incompressible noise (raw blocks), half smooth
+    vol = make_radial_volume(nz=32, ny=16, nx=16)
+    vol[:16] = (rng.standard_normal((16, 16, 16)) * 1e10).astype(np.float32)
+    data, _ = cvx.compress(vol, 1e-8, block=(16, 16, 16))
+    _, blkoffs, _, _ = ctn.unpack(data)
+    assert (np.asarray(blkoffs) < 0).any(), "fixture must contain raw blocks"
+    assert not (np.asarray(blkoffs) < 0).all(), "fixture must mix raw/rle"
+    ref = cvx.decompress(data)
+    store = DeviceSnapshotStack(vol.shape, 1e-8, block=(16, 16, 16))
+    i = store.from_container(data)
+    snap = np.asarray(store.get(i))
+    denom = np.abs(ref) + np.sqrt(np.mean(ref.astype(np.float64) ** 2))
+    rel = np.abs(snap - ref) / denom
+    assert rel.max() < 1e-5, rel.max()  # ~1-2 ulp of the re-scale round trip
+
+
+def test_snapshot_append_vs_codec_quantization_step():
+    """VERDICT #9 bound: the stack's device-f32 RMS can differ from the
+    codec's host-f64 RMS by ~1 ulp, so append() and compress() may
+    quantize differently — but only ever by ONE quantization step per
+    coefficient.  Asserted at the scaled-integer (fiv) level."""
+    import cvxcompress_tpu as cvx
+    from cvxcompress_tpu import container as ctn
+    from cvxcompress_tpu.ops import codec as _codec
+
+    vol = make_radial_volume(nz=32, ny=32, nx=32)
+    block, chunk_shape = (16, 16, 16), None
+    data, _ = cvx.compress(vol, 1e-2, block=block)
+    hdr, blkoffs, _, pbase = ctn.unpack(data)
+    # decode the codec's quantized integers (mulfac'=1.0 -> float(iv))
+    iv_codec = _codec._decode_payloads_host(
+        data,
+        ctn.Header(hdr.nx, hdr.ny, hdr.nz, hdr.bx, hdr.by, hdr.bz,
+                   np.float32(1.0), False),
+        blkoffs, None, pbase,
+    )
+    store = DeviceSnapshotStack(vol.shape, 1e-2, block=block)
+    i = store.append(vol)
+    store.flush()
+    payload, invmap, mulfac_dev, acount = store._snaps[i]
+    inv = np.asarray(invmap)
+    rows = np.asarray(payload)
+    dense = np.zeros((inv.size, store.chunk), np.float32)
+    live = inv < rows.shape[0]
+    dense[live] = rows[inv[live]]
+    fiv_stack = dense.reshape(iv_codec.shape)
+    assert np.abs(fiv_stack - iv_codec).max() <= 1.0
+
+
 def test_snapshot_container_roundtrip_chain():
     """stack -> container -> fresh stack -> identical reconstruction."""
     vol = make_sinusoid_volume(32, 32, 32, periods=3)
