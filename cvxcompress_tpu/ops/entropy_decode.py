@@ -52,6 +52,7 @@ scattered coefficient volume is bit-identical to the host decoders'.
 from __future__ import annotations
 
 import functools
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -69,13 +70,81 @@ _LENGTHS = ((127, 2), (125, 4), (-125, 3), (-127, 4), (-126, 17), (126, 25),
             (-128, 5))
 
 
-def plan(data):
+def _gather_runs_numpy(src, soff, dst, doff, nbytes):
+    """Vectorized numpy ragged copy (repeat+cumsum index construction,
+    ~3 passes over the copied bytes) — the no-native fallback."""
+    n = nbytes.astype(np.int64)
+    tot = int(n.sum())
+    if tot == 0:
+        return
+    # src index stream: runs [soff[i], soff[i]+n[i]) back to back
+    step = np.ones(tot, dtype=np.int64)
+    starts = np.cumsum(n)[:-1]
+    step[0] = soff[0]
+    step[starts] = soff[1:] - (soff[:-1] + n[:-1] - 1)
+    sidx = np.cumsum(step)
+    dstep = np.ones(tot, dtype=np.int64)
+    dstep[0] = doff[0]
+    dstep[starts] = doff[1:] - (doff[:-1] + n[:-1] - 1)
+    didx = np.cumsum(dstep)
+    dst[didx] = src[sidx]
+
+
+def _ragged_copy_fill_host(src, soff, dst, doff, nbytes, align):
+    """dst[doff[i]:+nbytes[i]] = src[soff[i]:+nbytes[i]], then zero each
+    span's tail up to the next `align` boundary — no Python loop: the
+    native OpenMP memcpy fan when available, else vectorized numpy."""
+    if soff.size == 0:
+        return
+    try:
+        from . import rle_host
+
+        if rle_host.available():
+            rle_host.ragged_copy_fill(src, soff, dst, doff, nbytes, align)
+            return
+    except Exception:
+        pass
+    _gather_runs_numpy(src, soff, dst, doff, nbytes)
+    # zero the alignment gaps (dst spans [doff+n, doff+align_up(n)))
+    gaps = (-nbytes) & (align - 1)
+    gi = np.nonzero(gaps)[0]
+    if gi.size:
+        zsrc = np.zeros(align, dtype=np.uint8)
+        _gather_runs_numpy(
+            zsrc, np.zeros(gi.size, np.int64), dst,
+            (doff[gi] + nbytes[gi]).astype(np.int64),
+            gaps[gi].astype(np.int64),
+        )
+
+
+_plan_tls = threading.local()
+
+
+def _plan_staging(nseg, reuse):
+    """(nseg, SEG) u8 staging rows; `reuse` recycles a per-thread buffer
+    (fresh pages cost ~page-fault-bound writes; a warm buffer is ~5x
+    faster to fill).  Only safe when the caller has finished with the
+    PREVIOUS plan's segs (uploaded / copied) — the codec's sequential
+    decompress and the per-thread pipeline workers both qualify."""
+    if not reuse:
+        return np.empty((nseg, SEG), np.uint8)
+    buf = getattr(_plan_tls, "buf", None)
+    if buf is None or buf.shape[0] < nseg:
+        buf = np.empty((max(nseg, 64), SEG), np.uint8)
+        _plan_tls.buf = buf
+    return buf[:nseg]
+
+
+def plan(data, reuse_staging=False):
     """Host-side planning: container -> segment arrays for the device parse.
 
     Returns None when the container's spans are degenerate, else a dict of
-    numpy arrays + static config.  Cost is one memcpy of the payload into
-    the aligned stream (∝ compressed size), mirroring the compress side's
-    host assembly.
+    numpy arrays + static config.  Cost is one ragged memcpy of the payload
+    into the aligned stream plus O(nsub) span arithmetic (all ∝ compressed
+    size, NO per-block Python loop), mirroring the compress side's host
+    assembly.  `reuse_staging` recycles a per-thread segs buffer (see
+    _plan_staging) — pass True only when the previous call's segs are no
+    longer referenced (the codec's decompress paths qualify).
     """
     hdr, blkoffs, blkmulfac, payload_base = ctn.unpack(data)
     nnn = hdr.grid[3]
@@ -106,22 +175,25 @@ def plan(data):
     nseg = -(-nsub // SPS)
     nsub = nseg * SPS
 
-    segs = np.zeros((nseg, SEG), dtype=np.uint8)
+    segs = _plan_staging(nseg, reuse_staging)
     flat = segs.reshape(-1)
+    rle_ids = np.nonzero(rle)[0]
+    # copy block payloads + zero each span's W-alignment tail in one pass
+    _ragged_copy_fill_host(
+        payload, offs[rle_ids], flat, base[rle_ids], sizes[rle_ids], W
+    )
+    flat[total:] = 0  # trailing padding subsegments (inert, deterministic)
     # sub_block: owning block per subsegment (virtual block nnn for the
     # tail padding — its scatter targets land at/past the discard slot)
     sub_block = np.full(nsub, nnn, dtype=np.int32)
+    # raw blocks occupy zero stream bytes, so RLE blocks' subsegment runs
+    # are contiguous in ascending block order: one repeat covers them all
+    sub_block[: total // W] = np.repeat(
+        rle_ids.astype(np.int32), asz[rle_ids] // W
+    )
     sub_reset = np.zeros(nsub, dtype=bool)
     sub_reset[total // W :] = True  # padding subsegments restart (inert)
-    for b in range(nnn):
-        if not rle[b]:
-            continue
-        sz = int(sizes[b])
-        o = int(offs[b])
-        s0 = int(base[b])
-        flat[s0 : s0 + sz] = payload[o : o + sz]
-        sub_block[s0 // W : (s0 + int(asz[b])) // W] = b
-        sub_reset[s0 // W] = True
+    sub_reset[base[rle_ids] // W] = True
 
     if hdr.use_local_rms:
         mf = np.concatenate(
@@ -129,9 +201,11 @@ def plan(data):
         )
         scalefac = (np.float32(1.0) / mf)[sub_block]
     else:
-        scalefac = np.broadcast_to(
-            np.float32(1.0) / np.float32(hdr.glob_mulfac), (nsub,)
-        ).copy()
+        # constant scalefac: a 1-element array the decode jits broadcast
+        # on device (no O(nsub) host build or upload)
+        scalefac = np.full(
+            1, np.float32(1.0) / np.float32(hdr.glob_mulfac), np.float32
+        )
 
     raw_ids = np.nonzero(is_raw)[0].astype(np.int32)
     raw_rows = (
@@ -163,21 +237,20 @@ def _i8(b):
     return b - 256 * (b >= 128)
 
 
-def _use_chase_kernel():
+def _use_chase_kernel(on_tpu):
     """Experimental opt-in: the Pallas scalar-chase kernel HANGS the TPU
     worker on the current toolchain (both the single-program and the
     grid-chunked SMEM formulation — suspected Mosaic issue with scalar
     dynamic indexing under sequential grids).  Verified correct in
     interpret mode (tests); disabled until the toolchain moves.
+
+    `on_tpu` is threaded from the CALLER (codec.use_pallas() single-chip,
+    mesh.is_tpu_mesh for shard_map) — the default backend is unreliable
+    under a forced-CPU mesh with an ambient TPU plugin (CLAUDE.md).
     """
     import os
 
-    import jax as _jax
-
-    return (
-        os.environ.get("CVX_CHASE_KERNEL") == "1"
-        and _jax.default_backend() == "tpu"
-    )
+    return os.environ.get("CVX_CHASE_KERNEL") == "1" and on_tpu
 
 
 def _chase_pallas(T, NV, reset, cells):
@@ -258,7 +331,7 @@ def _chase_pallas(T, NV, reset, cells):
     return e32[:nsub, 0], c32[:nsub, 0]
 
 
-def _parse_stages(segs, sub_reset, cells):
+def _parse_stages(segs, sub_reset, cells, on_tpu=False):
     """Shared parse: byte planes, subsegment bit-DP, transfer maps, and
     the cross-subsegment entry/cursor recurrence.  Returns
     (M, e32, c32, vals_s, sv, Bx) for the emit stage."""
@@ -319,85 +392,78 @@ def _parse_stages(segs, sub_reset, cells):
         )
 
     # ---- 2. cross-subsegment entry/cursor recurrence --------------------
-    if _use_chase_kernel():
+    if _use_chase_kernel(on_tpu):
         e32, c32 = _chase_pallas(T, NV, sub_reset, cells)
         return M, e32, c32, vals_s, sv, Bx
-    # XLA path (CPU / non-TPU): segmented scan of index-table maps
+    # XLA path (CPU / non-TPU): segmented scan of index-table maps.
+    # State (entry t, count v) is PACKED as p = v*32 + t (t < 32,
+    # v <= CAP < 2^22) and table lookups are one vectorized
+    # compare-mask-reduce over a (rows, E, E) bitmask — ~6 fused ops per
+    # step instead of the 50 per-lane where's of the round-2 version
+    # (the chain cost ~2-3 ms of small-kernel launches at the CI config).
 
-    def sel2(tab_t, tab_v, idx):
-        """(tab_t[idx], tab_v[idx]) along lanes, sharing compare masks."""
-        ot = jnp.zeros_like(idx)
-        ov = jnp.zeros_like(idx)
-        for x in range(E):
-            m = idx == x
-            ot = jnp.where(m, tab_t[:, x : x + 1], ot)
-            ov = jnp.where(m, tab_v[:, x : x + 1], ov)
-        return ot, ov
+    eye = jnp.arange(E, dtype=jnp.int32)
 
-    T3 = T.reshape(nseg, SPS, E)
-    NV3 = NV.reshape(nseg, SPS, E)
+    def lookup(ptab, idx):
+        """out[r, e] = ptab[r, idx[r, e]] via mask-reduce (E is tiny)."""
+        m = idx[:, :, None] == eye[None, None, :]
+        return jnp.sum(jnp.where(m, ptab[:, None, :], 0), axis=-1)
+
+    P3 = (NV * 32 + T).reshape(nseg, SPS, E)  # packed submaps
     R2 = sub_reset.reshape(nseg, SPS)
-    ident = jnp.broadcast_to(
-        jnp.arange(E, dtype=jnp.int32)[None, :], (nseg, E)
-    )
+    identP = jnp.broadcast_to(eye[None, :], (nseg, E))  # v=0, t=e
     # level 1: compose the SPS submaps of each segment sequentially,
     # honoring block-start resets (carry collapses to the constant
     # entry-0 state), keeping the exclusive prefixes for level 3
-    curT, curV = ident, jnp.zeros((nseg, E), jnp.int32)
-    prefT, prefV = [], []
+    curP = identP
+    prefP = []
     for k in range(SPS):
         rk = R2[:, k : k + 1]
-        curT = jnp.where(rk, 0, curT)
-        curV = jnp.where(rk, 0, curV)
-        prefT.append(curT)
-        prefV.append(curV)
-        gT, gN = sel2(T3[:, k, :], NV3[:, k, :], curT)
-        curT = gT
-        curV = jnp.minimum(curV + gN, CAP)
+        curP = jnp.where(rk, 0, curP)  # reset: t=0, v=0
+        prefP.append(curP)
+        g = lookup(P3[:, k, :], curP & 31)
+        curP = (
+            jnp.minimum((curP >> 5) + (g >> 5), CAP) * 32 + (g & 31)
+        )
 
     # level 2: segmented associative scan over SEGMENT maps; a segment
     # with an internal reset contributes its since-last-reset map
     r_seg = R2.any(axis=1)
 
     def combine(a, b):
-        t1, v1, r1 = a
-        t2, v2, r2 = b
-        ct, cv = sel2(t2, v2, t1)
-        t = jnp.where(r2[:, None], t2, ct)
-        v = jnp.where(r2[:, None], v2, jnp.minimum(v1 + cv, CAP))
-        return t, v, r1 | r2
+        p1, r1 = a
+        p2, r2 = b
+        g = lookup(p2, p1 & 31)
+        p = jnp.minimum((p1 >> 5) + (g >> 5), CAP) * 32 + (g & 31)
+        return jnp.where(r2[:, None], p2, p), r1 | r2
 
-    ti, vi, _ = jax.lax.associative_scan(
-        combine, (curT, curV, r_seg), axis=0
-    )
-    prev_t = jnp.concatenate([ident[:1], ti[:-1]], axis=0)
-    prev_v = jnp.concatenate([jnp.zeros((1, E), jnp.int32), vi[:-1]], axis=0)
-    eseg = prev_t[:, 0]  # entry state at each segment's first byte
-    cseg = prev_v[:, 0]
+    pi, _ = jax.lax.associative_scan(combine, (curP, r_seg), axis=0)
+    prev_p = jnp.concatenate([identP[:1], pi[:-1]], axis=0)
+    eseg = prev_p[:, 0] & 31  # entry state at each segment's first byte
+    cseg = prev_p[:, 0] >> 5
 
-    # level 3: push each segment's entry through its submap prefixes; subs
-    # past an internal reset use the (entry-independent) post-reset state
+    # level 3: push each segment's entry through its submap prefixes in
+    # ONE batched lane-gather; subs past an internal reset use the
+    # (entry-independent) post-reset state
     post = jnp.cumsum(R2.astype(jnp.int32), axis=1) > 0
-    e32 = jnp.empty((nseg, SPS), jnp.int32)
-    c32 = jnp.empty((nseg, SPS), jnp.int32)
-    es = eseg[:, None]
-    for k in range(SPS):
-        pt = jnp.take_along_axis(prefT[k], es, axis=1)[:, 0]
-        pv = jnp.take_along_axis(prefV[k], es, axis=1)[:, 0]
-        e32 = e32.at[:, k].set(pt)
-        base = jnp.where(post[:, k], pv, jnp.minimum(cseg + pv, CAP))
-        c32 = c32.at[:, k].set(base)
-    e32 = e32.reshape(nsub)
-    c32 = c32.reshape(nsub)
+    pref = jnp.stack(prefP, axis=1)  # (nseg, SPS, E)
+    sel = jnp.take_along_axis(
+        pref, eseg[:, None, None], axis=2
+    )[:, :, 0]  # (nseg, SPS)
+    e32 = (sel & 31).reshape(nsub)
+    pv = sel >> 5
+    c32 = jnp.where(
+        post, pv, jnp.minimum(cseg[:, None] + pv, CAP)
+    ).reshape(nsub)
 
     return M, e32, c32, vals_s, sv, Bx
 
 
 @functools.partial(
-    jax.jit, static_argnames=("vol_shape", "block", "nseg_s")
+    jax.jit, static_argnames=("vol_shape", "block", "nseg_s", "on_tpu")
 )
 def decode_to_volume(segs, sub_block, sub_reset, scalefac, vol_shape, block,
-                     nseg_s):
+                     nseg_s, on_tpu=False):
     """Device parse: segment rows -> padded VOLUME-ORDER coefficient plane.
 
     Returns (nzp*nyp, nxp2) float32 — dequantized wavelet coefficients in
@@ -407,7 +473,8 @@ def decode_to_volume(segs, sub_block, sub_reset, scalefac, vol_shape, block,
     del nseg_s  # shapes are already static via segs
     bx, by, bz = block
     cells = bx * by * bz
-    M, e32, c32, vals_s, sv, Bx = _parse_stages(segs, sub_reset, cells)
+    M, e32, c32, vals_s, sv, Bx = _parse_stages(segs, sub_reset, cells,
+                                                on_tpu)
     return _emit_and_scatter(
         M, e32, c32, vals_s, sv, Bx, scalefac, sub_block, vol_shape, block
     )
@@ -433,9 +500,12 @@ def _emit_values(M, e32, c32, vals_s, sv, Bx, scalefac, cells):
 
     is_start = is_start.reshape(nseg, SEG)
     out_base = out_base.reshape(nseg, SEG)
-    sf = jnp.broadcast_to(
-        scalefac.reshape(nseg, SPS, 1), (nseg, SPS, W)
-    ).reshape(nseg, SEG)
+    if scalefac.shape[0] == 1:  # global-RMS: one scalar for the volume
+        sf = jnp.broadcast_to(scalefac.reshape(1, 1), (nseg, SEG))
+    else:
+        sf = jnp.broadcast_to(
+            scalefac.reshape(nseg, SPS, 1), (nseg, SPS, W)
+        ).reshape(nseg, SEG)
 
     # single-value tokens (incl. the single-zero byte 0)
     plain = (sv > -125) & (sv < 125)
@@ -531,10 +601,10 @@ def _emit_and_scatter(M, e32, c32, vals_s, sv, Bx, scalefac, sub_block,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nblocks", "block", "nseg_s")
+    jax.jit, static_argnames=("nblocks", "block", "nseg_s", "on_tpu")
 )
 def decode_to_blocks(segs, sub_block, sub_reset, scalefac, nblocks, block,
-                     nseg_s):
+                     nseg_s, on_tpu=False):
     """Device parse -> dense BLOCK-MAJOR coefficients (nblocks, cells).
 
     The multi-chip layer's per-shard form: block ids in `sub_block` are
@@ -546,7 +616,7 @@ def decode_to_blocks(segs, sub_block, sub_reset, scalefac, nblocks, block,
     bx, by, bz = block
     cells = bx * by * bz
     M, e32, c32, vals_s, sv, Bx = _parse_stages(
-        segs, sub_reset, cells
+        segs, sub_reset, cells, on_tpu
     )
     emit, val, pos = _emit_values(
         M, e32, c32, vals_s, sv, Bx, scalefac, cells

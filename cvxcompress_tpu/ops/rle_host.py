@@ -72,6 +72,11 @@ def _load():
         lib.cvx_ragged_copy.argtypes = [
             _u8p, _i64p, _u8p, _i64p, _i64p, ctypes.c_int64,
         ]
+        lib.cvx_ragged_copy_fill.restype = None
+        lib.cvx_ragged_copy_fill.argtypes = [
+            _u8p, _i64p, _u8p, _i64p, _i64p, ctypes.c_int64,
+            ctypes.c_int64,
+        ]
         lib.cvx_chunk_flags.restype = None
         lib.cvx_chunk_flags.argtypes = [
             _f32p, ctypes.c_int64, ctypes.c_int64, _u8p,
@@ -210,6 +215,19 @@ def ragged_copy(src, soff, dst, doff, nbytes):
         src.ctypes.data_as(_u8p), soff.ctypes.data_as(_i64p),
         dst.ctypes.data_as(_u8p), doff.ctypes.data_as(_i64p),
         nb.ctypes.data_as(_i64p), soff.size,
+    )
+
+
+def ragged_copy_fill(src, soff, dst, doff, nbytes, align):
+    """ragged_copy + zero-fill of each span's tail up to `align` (pow2)."""
+    lib = _load()
+    soff = np.ascontiguousarray(soff, dtype=np.int64)
+    doff = np.ascontiguousarray(doff, dtype=np.int64)
+    nb = np.ascontiguousarray(nbytes, dtype=np.int64)
+    lib.cvx_ragged_copy_fill(
+        src.ctypes.data_as(_u8p), soff.ctypes.data_as(_i64p),
+        dst.ctypes.data_as(_u8p), doff.ctypes.data_as(_i64p),
+        nb.ctypes.data_as(_i64p), soff.size, align,
     )
 
 

@@ -552,6 +552,22 @@ void cvx_ragged_copy(const uint8_t* src, const int64_t* soff, uint8_t* dst,
     std::memcpy(dst + doff[i], src + soff[i], (size_t)nbytes[i]);
 }
 
+// Ragged copy that also zero-fills each destination span's alignment tail
+// up to the next `align` boundary (the decode-plan stream packer: block
+// payloads land W-aligned with deterministic zero gaps, without a separate
+// full-buffer memset — the staging buffer is reused across volumes).
+void cvx_ragged_copy_fill(const uint8_t* src, const int64_t* soff,
+                          uint8_t* dst, const int64_t* doff,
+                          const int64_t* nbytes, int64_t n, int64_t align) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t sz = nbytes[i];
+    std::memcpy(dst + doff[i], src + soff[i], (size_t)sz);
+    int64_t pad = (-sz) & (align - 1);
+    if (pad) std::memset(dst + doff[i] + sz, 0, (size_t)pad);
+  }
+}
+
 double cvx_sumsq_f64(const float* vol, int64_t n) {
   double acc = 0.0;
 #pragma omp parallel for reduction(+ : acc)
