@@ -56,6 +56,74 @@ def available():
     return jax.default_backend() == "tpu"
 
 
+def _kernel_patch(gf_ref, gd_ref, b_ref, of_ref, od_ref, *, bx, rpc, xt):
+    """Gathered (gr, rpc, xt, 128) chunk patches -> (gr, 128) chunk rows.
+
+    Patch row i holds chunk i's full rpc x W plane patch; its cells sit
+    at [k, tt, wv*bx:(wv+1)*bx) with tt = bxi//wpr, wv = bxi%wpr (wpr ==
+    rpc since both equal 128//bx).  Output lane [k*bx, (k+1)*bx) takes
+    tile (k, tt) shifted by (k - wv)*bx — rpc*xt*rpc static roll+selects
+    in VMEM, replacing an XLA chain that materialized ~3 GB.
+    """
+    gr = of_ref.shape[0]
+    lane = jax.lax.broadcasted_iota(I32, (gr, 128), 1)
+    bxi = b_ref[:]  # (gr, 1) broadcast
+    tt = bxi // rpc
+    wv = bxi % rpc
+    of = jnp.zeros_like(of_ref)
+    od = jnp.zeros_like(od_ref)
+    for k in range(rpc):
+        # hoist the x-tile select, then one roll-select per window
+        xf = gf_ref[:, k, 0, :]
+        xd = gd_ref[:, k, 0, :]
+        for t in range(1, xt):
+            mt = tt == t
+            xf = jnp.where(mt, gf_ref[:, k, t, :], xf)
+            xd = jnp.where(mt, gd_ref[:, k, t, :], xd)
+        target = (lane >= k * bx) & (lane < (k + 1) * bx)
+        for w in range(rpc):
+            sh = ((k - w) * bx) % 128
+            m = target & (wv == w)
+            of = jnp.where(m, pltpu.roll(xf, sh, 1) if sh else xf, of)
+            od = jnp.where(m, pltpu.roll(xd, sh, 1) if sh else xd, od)
+    of_ref[:] = of
+    od_ref[:] = od
+
+
+@functools.partial(jax.jit, static_argnames=("bx", "rpc", "xt", "interpret"))
+def patch_extract(gf, gd, bxi, bx, rpc, xt, interpret=False):
+    """(acap, rpc, xt, 128) gathered fv/desc patches + (acap, 1) x-block
+    ids -> (acap, 128) chunk-major rows (exact: shifts/selects only)."""
+    acap = gf.shape[0]
+    # small tiles: the (gr, rpc, xt, 128) operands + unrolled roll
+    # temporaries must fit the 16-MB scoped VMEM (double-buffered)
+    gr = min(acap, 128)
+    assert acap % gr == 0
+    return pl.pallas_call(
+        functools.partial(_kernel_patch, bx=bx, rpc=rpc, xt=xt),
+        grid=(acap // gr,),
+        in_specs=[
+            pl.BlockSpec((gr, rpc, xt, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gr, rpc, xt, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gr, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((gr, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gr, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((acap, 128), gf.dtype),
+            jax.ShapeDtypeStruct((acap, 128), gd.dtype),
+        ),
+        interpret=interpret,
+    )(gf, gd, bxi)
+
+
 @functools.lru_cache(maxsize=None)
 def _spread_matrices():
     """S_k (Q, 5Q) with S_k[i, 5i+k] = 1, and their sum S_all."""
@@ -71,7 +139,7 @@ def _byte(v, k):
     return jax.lax.shift_right_logical(v, jnp.int32(8 * k)) & 0xFF
 
 
-def _kernel(fv_ref, dsc_ref, s5_ref, sall_ref, out_ref):
+def _kernel(fv_ref, dsc_ref, s5_ref, sall_ref, out_ref, *, out_cols=SQ):
     fv = fv_ref[:]  # (GR, Q) f32 scaled coefficients of active chunks
     dsc = dsc_ref[:]  # (GR, Q) i32 descriptors
 
@@ -215,21 +283,25 @@ def _kernel(fv_ref, dsc_ref, s5_ref, sall_ref, out_ref):
         x = jnp.where(take, inc_x, x)
         dist = jnp.where(take, inc_d - s, jnp.where(moveout, -1, dist))
         s *= 2
-    out_ref[:] = x
+    out_ref[:] = x[:, :out_cols]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def pack_staging(fv_rows, desc_rows, interpret=False):
-    """(A, 128) gathered scaled coeffs + descriptors -> packed (A, 640) i32.
+@functools.partial(jax.jit, static_argnames=("interpret", "out_cols"))
+def pack_staging(fv_rows, desc_rows, interpret=False, out_cols=SQ):
+    """(A, 128) gathered scaled coeffs + descriptors -> packed
+    (A, out_cols) i32.
 
     Each output row holds its chunk's payload bytes front-packed (values
-    0..255 in int32 lanes); trailing slots are garbage.
+    0..255 in int32 lanes); trailing slots are garbage.  `out_cols < SQ`
+    writes only the leading slots — the skip_squeeze case (every active
+    chunk fits one subrow) needs just SUBROW of the 640, saving ~8x of
+    the output DMA.
     """
     a, q = fv_rows.shape
     assert q == Q and a % GR == 0
     s5, sall = _spread_matrices()
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, out_cols=out_cols),
         grid=(a // GR,),
         in_specs=[
             pl.BlockSpec((GR, Q), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -239,9 +311,9 @@ def pack_staging(fv_rows, desc_rows, interpret=False):
             pl.BlockSpec((Q, SQ), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((GR, SQ), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((GR, out_cols), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((a, SQ), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((a, out_cols), jnp.int32),
         interpret=interpret,
     )(fv_rows, desc_rows, jnp.asarray(s5), jnp.asarray(sall))
     return out

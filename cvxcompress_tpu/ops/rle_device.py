@@ -330,17 +330,78 @@ def _fit(a, cap, fill=0):
     return jnp.concatenate([a, pad])
 
 
+def _gather_from_planes(fvv, desc, aidx, acap, plane_geom,
+                        use_kernel=True):
+    """Active-chunk rows (acap, 128) from VOLUME-ORDER planes (stripe).
+
+    A block-major chunk is an (rpc, bx) patch of the plane: rpc
+    consecutive rows x one bx-lane window.  On TPU: gather each chunk's
+    whole (rpc, W) patch group in ONE take (6-KB contiguous rows — the
+    fast row-gather class), then extract/compose the chunk row in a
+    Pallas kernel (static lane shifts + selects — exact for any dtype).
+    """
+    vol_shape3, blk = plane_geom
+    nz, ny, nx = vol_shape3
+    bx, by, bz = blk
+    nbz, nby, nbx = -(-nz // bz), -(-ny // by), -(-nx // bx)
+    from . import wavelet as _wav
+
+    nbx2 = _wav.padded_nbx(nbx, bx)
+    W = nbx2 * bx
+    xt = W // 128
+    rpc = 128 // bx  # rows per chunk == windows per 128-lane view row
+    ypr = by // rpc
+    cpb = (bx * by * bz) // 128
+    nyp = nby * by
+
+    b = aidx // cpb
+    w = aidx % cpb
+    bzi = b // (nby * nbx)
+    byi = (b // nbx) % nby
+    bxi = b % nbx
+    zl = w // ypr
+    yq = w % ypr
+    pr = (bzi * bz + zl) * nyp + byi * by + yq * rpc
+    if use_kernel:
+        # ONE take per plane of whole (rpc, W) chunk patches (6-KB-class
+        # contiguous rows gather ~4x faster than rpc separate 512-B
+        # rows), then a Pallas extract to chunk-major rows
+        from . import pack_pallas
+
+        R = fvv.shape[0]
+        grp = pr // rpc  # pr % rpc == 0 by stripe_path_ok geometry
+        g4f = jnp.take(
+            fvv.reshape(R // rpc, rpc, xt, 128), grp, axis=0
+        )
+        g4d = jnp.take(
+            desc.reshape(R // rpc, rpc, xt, 128), grp, axis=0
+        )
+        return pack_pallas.patch_extract(
+            g4f, g4d, bxi[:, None], bx, rpc, xt
+        )
+
+    # XLA fallback (CPU): narrow (.., bx)-minor gather — correct; the 4x
+    # lane-padding tax only matters on real TPUs, which take the kernel
+    r32 = (
+        (pr[:, None] + jnp.arange(rpc, dtype=I32)[None, :]) * (W // bx)
+        + bxi[:, None]
+    )
+    gf = jnp.take(fvv.reshape(-1, bx), r32.reshape(-1), axis=0)
+    gd = jnp.take(desc.reshape(-1, bx), r32.reshape(-1), axis=0)
+    return gf.reshape(acap, 128), gd.reshape(acap, 128)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "acap", "lcap", "use_pallas_kernel", "skip_squeeze", "row_of_chunk",
-        "desc_row_of_chunk", "nchunks_override",
+        "desc_row_of_chunk", "nchunks_override", "plane_geom",
     ),
 )
 def pack_active(fv_chunks, desc, chunk_bytes, acap, lcap,
                 use_pallas_kernel=None, skip_squeeze=False,
                 row_of_chunk=None, desc_row_of_chunk=None,
-                nchunks_override=None):
+                nchunks_override=None, plane_geom=None):
     """PASS 2: row-gather active chunks, pack their payload bytes.
 
     fv_chunks (nchunks, chunk) f32: PRE-SCALED coefficients in chunk
@@ -356,6 +417,13 @@ def pack_active(fv_chunks, desc, chunk_bytes, acap, lcap,
     (n, k) indices of width chunk//k rows per chunk — gathers stay
     row-granular either way.  `nchunks_override` gives the chunk count
     when `desc` is not chunk-major.
+
+    `plane_geom=(vol_shape3, block)` (stripe fast path): fv_chunks and
+    desc are the VOLUME-ORDER planes (nzp*nyp, W).  Active chunks are
+    gathered as FULL 128-lane rows of the (R*xt, 128) view and the
+    bx-lane windows are extracted/recomposed with static lane shifts —
+    the (.., bx)-minor narrow gather this replaces was 4x lane-padded
+    and cost ~5x the whole block-major pack stage (round 3).
     """
     chunk = CHUNK_PACK if nchunks_override is not None else desc.shape[1]
     nchunks = (
@@ -383,13 +451,25 @@ def pack_active(fv_chunks, desc, chunk_bytes, acap, lcap,
     )
 
     # -- row-gather active chunks (row-granular: fast on TPU)
-    def _gather(mat, rmap):
-        rows = rmap(aidx) if rmap is not None else aidx
-        g = jnp.take(mat, rows.reshape(-1), axis=0)
-        return g.reshape(acap, chunk)
+    if plane_geom is not None:
+        from . import pack_pallas as _pp
 
-    fvg = _gather(fv_chunks, row_of_chunk)
-    dsc = _gather(desc, desc_row_of_chunk)
+        kern_ok = (
+            use_pallas_kernel
+            if use_pallas_kernel is not None
+            else _pp.available()
+        )
+        fvg, dsc = _gather_from_planes(
+            fv_chunks, desc, aidx, acap, plane_geom, use_kernel=kern_ok
+        )
+    else:
+        def _gather(mat, rmap):
+            rows = rmap(aidx) if rmap is not None else aidx
+            g = jnp.take(mat, rows.reshape(-1), axis=0)
+            return g.reshape(acap, chunk)
+
+        fvg = _gather(fv_chunks, row_of_chunk)
+        dsc = _gather(desc, desc_row_of_chunk)
 
     # -- rebuild token bytes + front-pack, Pallas kernel when available
     from . import pack_pallas
@@ -401,9 +481,14 @@ def pack_active(fv_chunks, desc, chunk_bytes, acap, lcap,
         and chunk == pack_pallas.Q
         and acap % pack_pallas.GR == 0
     ):
-        packed = pack_pallas.pack_staging(fvg, dsc).astype(U8)
         if skip_squeeze:
+            # every active chunk fits one subrow: emit only the leading
+            # lanes (the kernel still front-packs the full staging)
+            packed = pack_pallas.pack_staging(
+                fvg, dsc, out_cols=pack_pallas.Q
+            ).astype(U8)
             return packed[:, :SUBROW], aidx, abytes
+        packed = pack_pallas.pack_staging(fvg, dsc).astype(U8)
         return _subrow_squeeze(packed, abytes, acap, lcap, chunk, aidx)
 
     fv, iv = quant.quantize(fvg, jnp.float32(1.0))
@@ -513,9 +598,16 @@ def pack_compacted(fvc, dscc, meta, emitted, acap, lcap,
 
 
 def bucket(n, lo=8):
-    """Round up to a power-of-two capacity to bound jit recompiles."""
+    """Round up to a quarter-step capacity (1, 1.25, 1.5, 1.75 x 2^k).
+
+    Buckets bound jit recompiles across a volume stream; quarter steps
+    keep the expected capacity overshoot ~11% (power-of-two buckets
+    averaged ~33%, and every downstream pack/gather/staging pass scales
+    with the cap) at the cost of at most 4x more cached programs.
+    """
     n = max(int(n), lo)
-    return 1 << int(np.ceil(np.log2(n)))
+    k = max(int(np.floor(np.log2(n))) - 2, 0)
+    return ((n + (1 << k) - 1) >> k) << k
 
 
 def plan_capacities(chunk_bytes_h):

@@ -33,6 +33,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -434,16 +435,29 @@ def _group_or_broadcast_from_lane0(x, gl, g):
     return x
 
 
-def _tile_desc_stripe(fv, nxt_row, carry_in, zt, byi, geom):
+def _tile_desc_stripe(fv, nxt_row, carry_in, zt, byi, geom, ex, sp):
     """(TRS, W) volume-order stripe -> (desc, cost, carry_out).
 
     geom = (bx, by, zg, bz, nbx2, nby, cells).  Cell order within each
     bx-lane group column is block-major ((zl, yl) rows, xl lanes); groups
-    are independent chunk chains — all cross-cell scans mask at group
-    boundaries and the run carry is per lane.
+    are independent chunk chains.
+
+    NARROW run carry (the round-3 restructure, PERF_NOTES round-2 #7):
+    the cross-row zero-run state is ONE value per block column, so the
+    cross-row scan runs on a (TRS, NL) per-column array — extracted from
+    the full-width within-row prefix by an MXU one-hot matmul `ex`
+    (W, NL) and spread back with `sp` (NL, W) — instead of 9 full-width
+    (TRS, W) roll steps.  Cell indices are BLOCK-LOCAL (< cells <= 2^22,
+    exact in the f32 HIGHEST-precision dots; each lane group of a tile
+    belongs to exactly one block), so the block_base clamp of the old
+    formulation is inherent and the carry resets at block-z boundaries
+    (the kernel zeroes it when zt crosses bz//zg).  carry_in/out are
+    (1, NL) float32.
     """
     bx, by, zg, bz, nbx2, nby, cells = geom
     TRS, W = fv.shape
+    NL = ex.shape[1]
+    hi = jax.lax.Precision.HIGHEST
 
     in_range = (fv >= jnp.float32(-2147483648.0)) & (
         fv < jnp.float32(2147483648.0)
@@ -486,42 +500,46 @@ def _tile_desc_stripe(fv, nxt_row, carry_in, zt, byi, geom):
     mode = jnp.where(l8 == 0, mode, 0)
     mode = _group_or_broadcast_from_lane0(mode, l8, 8)
 
-    # block-major global cell index of every cell in the stripe
+    # BLOCK-LOCAL cell index of every cell in the stripe
     zloc = (zt % (bz // zg)) * zg + rows // by
     yl = rows % by
-    bzi = zt // (bz // zg)
-    b = (bzi * nby + byi) * nbx2 + lane // bx
-    gidx = b * cells + (zloc * by + yl) * bx + gl
+    lidx = (zloc * by + yl) * bx + gl  # < cells <= 2^22
     member = izero
 
-    # within-row, within-GROUP prefix of last-nonzero cell index
-    lnm = jnp.where(member, I32(-1), gidx)
+    # within-row, within-GROUP prefix of last-nonzero local index
+    lnm = jnp.where(member, I32(-1), lidx)
     lnm = _cumscan_max(lnm, 1, gl, I32(-1))
-    # group max broadcast to all lanes -> per-lane == per-column row max
-    gmax = _group_reverse_max(lnm, gl, bx, I32(-1))
-    rowcarry = _cumscan_max(gmax, 0, rows, I32(-1))
-    prev_rows = jnp.where(rows == 0, I32(-1), pltpu.roll(rowcarry, 1, 0))
-    cin = jnp.broadcast_to(carry_in, (TRS, W))
-    lastnm_glob = jnp.maximum(lnm, jnp.maximum(prev_rows, cin))
-    carry_out = jnp.maximum(carry_in, jnp.max(gmax, axis=0, keepdims=True))
+    # narrow extract: each group's row max (at its last lane) -> column g
+    gmax_n = jax.lax.dot_general(
+        lnm.astype(jnp.float32), ex, (((1,), (0,)), ((), ())),
+        precision=hi, preferred_element_type=jnp.float32,
+    )  # (TRS, NL)
+    rows_n = jax.lax.broadcasted_iota(I32, (TRS, NL), 0)
+    scan_n = _cumscan_max(gmax_n, 0, rows_n, jnp.float32(-1.0))
+    excl_n = jnp.where(
+        rows_n == 0, jnp.float32(-1.0), pltpu.roll(scan_n, 1, 0)
+    )
+    prev_n = jnp.maximum(excl_n, carry_in)
+    carry_out = jnp.maximum(carry_in, scan_n[TRS - 1 : TRS, :])
+    # spread the per-column previous-rows state back to full width
+    prev_full = jax.lax.dot_general(
+        prev_n, sp, (((1,), (0,)), ((), ())),
+        precision=hi, preferred_element_type=jnp.float32,
+    ).astype(I32)
+    lastnm = jnp.maximum(lnm, prev_full)
+    run_len = lidx - lastnm
 
-    block_base = (gidx // cells) * cells
-    lastnm = jnp.maximum(lastnm_glob, block_base - 1)
-    run_len = gidx - lastnm
-
-    # next cell in block-major order: (r, l+1) within the group, else the
-    # next row's group start, else (last row) the next tile's group start
+    # next cell in block-major order: (r, l+1) within the group; at the
+    # group's LAST lane, the next row's group start brought into place by
+    # a single +(bx-1) lane roll (consumed only where gl == bx-1)
     mem_i = member.astype(I32)
     a = jnp.where(gl < bx - 1, pltpu.roll(mem_i, W - 1, 1), 0)
-    g0 = jnp.where(gl == 0, mem_i, 0)
-    g0 = _group_or_broadcast_from_lane0(g0, gl, bx)
-    c = pltpu.roll(g0, TRS - 1, 0)  # next row's group-start member
-    n0 = jnp.where(gl == 0, nxt_row.astype(I32), 0)
-    n0 = _group_or_broadcast_from_lane0(n0, gl, bx)
+    c = pltpu.roll(pltpu.roll(mem_i, TRS - 1, 0), bx - 1, 1)
+    n0 = pltpu.roll(nxt_row.astype(I32), bx - 1, 1)
     nxt_member = jnp.where(
         gl < bx - 1, a, jnp.where(rows < TRS - 1, c, n0)
     ) != 0
-    block_end = (gidx + 1) % cells == 0
+    block_end = lidx == cells - 1
     run_end = member & (block_end | ~nxt_member)
 
     lane0 = l8 == 0
@@ -551,29 +569,39 @@ def _tile_desc_stripe(fv, nxt_row, carry_in, zt, byi, geom):
         | (run_end.astype(I32) << 3)
         | (jnp.minimum(run_len, MAX_RUN24) << 4)
     )
-    return desc, cost, carry_out
+    # per-(row, block-column) byte counts via one more MXU dot (values
+    # <= 5*bx, exact): the XLA epilogue's full-size `desc & 7` re-read +
+    # lane-padded (.., bx)-minor reduction was ~3x the kernel's own cost
+    cbrow = jax.lax.dot_general(
+        cost.astype(jnp.float32), sp, (((1,), (1,)), ((), ())),
+        precision=hi, preferred_element_type=jnp.float32,
+    ).astype(I32)  # (TRS, NL)
+    return desc, cbrow, carry_out
 
 
-def _kernel_stripe(fv_ref, nxt_ref, desc_ref, carry_ref, *, geom):
+def _kernel_stripe(fv_ref, nxt_ref, ex_ref, sp_ref, desc_ref, cb_ref,
+                   carry_ref, *, geom):
     byi = pl.program_id(0)
     zt = pl.program_id(1)
-
-    @pl.when(zt == 0)
-    def _init():
-        carry_ref[0:1, :] = jnp.full_like(carry_ref[0:1, :], -1)
-
     bx, by, zg, bz, nbx2, nby, cells = geom
+
+    @pl.when(zt % (bz // zg) == 0)
+    def _init():
+        # new block row along z: local-index run state restarts
+        carry_ref[0:1, :] = jnp.full_like(carry_ref[0:1, :], -1.0)
+
     W = nbx2 * bx
     fv = fv_ref[:, 0, :, :].reshape(zg * by, W)
     # next tile's first row, quantize-to-zero membership per lane
     nr = nxt_ref[0, 0, 0, :]
     nxt_row = ((nr > -1.0) & (nr < 1.0))[None, :]
-    desc, _cost, carry_out = _tile_desc_stripe(
-        fv, nxt_row, carry_ref[0:1, :], zt, byi, geom
+    desc, cbrow, carry_out = _tile_desc_stripe(
+        fv, nxt_row, carry_ref[0:1, :], zt, byi, geom, ex_ref[:], sp_ref[:]
     )
     carry_ref[0:1, :] = carry_out
     for zl in range(zg):
         desc_ref[zl, 0, :, :] = desc[zl * by : (zl + 1) * by, :]
+        cb_ref[zl, 0, :, :] = cbrow[zl * by : (zl + 1) * by, :]
 
 
 def stripe_path_ok(vol_shape3, block):
@@ -581,6 +609,8 @@ def stripe_path_ok(vol_shape3, block):
     bx, by, bz = block
     if bx >= 128 or bx < 8 or by < 8:
         return False
+    if by % (128 // bx):
+        return False  # chunks must tile whole y-quads (pack patch gather)
     zg = max(1, min(bz, 512 // by))
     while bz % zg:
         zg -= 1
@@ -609,6 +639,16 @@ def tokenize_tiles_stripe(fvv, vol_shape3, block, interpret=False):
     geom = (bx, by, zg, bz, nbx2, nby, cells)
     v4 = fvv.reshape(nzp, nby, by, W)
 
+    # one-hot extract/spread operators for the narrow run carry: column g
+    # of `ex` picks each bx-group's LAST lane (the group's row max after
+    # the within-group prefix scan); `sp` broadcasts column g back over
+    # its group's lanes.  NL pads the column count to full lane tiles.
+    NL = max(128, -(-nbx2 // 128) * 128)
+    ex = np.zeros((W, NL), np.float32)
+    ex[np.arange(nbx2) * bx + bx - 1, np.arange(nbx2)] = 1.0
+    sp = np.zeros((NL, W), np.float32)
+    sp[np.arange(W) // bx, np.arange(W)] = 1.0
+
     def in_map(byi, zt):
         return (zt, byi, 0, 0)
 
@@ -617,20 +657,33 @@ def tokenize_tiles_stripe(fvv, vol_shape3, block, interpret=False):
         # z row (the main spec's unit is zg)
         return (jnp.minimum(zt + 1, ztiles - 1) * zg, byi, 0, 0)
 
-    desc = pl.pallas_call(
+    desc, cbrow = pl.pallas_call(
         functools.partial(_kernel_stripe, geom=geom),
         grid=(nby, ztiles),
         in_specs=[
             pl.BlockSpec((zg, 1, by, W), in_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 8, W), look_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, NL), lambda byi, zt: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NL, W), lambda byi, zt: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((zg, 1, by, W), in_map,
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nzp, nby, by, W), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((8, W), jnp.int32)],
+        out_specs=(
+            pl.BlockSpec((zg, 1, by, W), in_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((zg, 1, by, NL), in_map, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nzp, nby, by, W), jnp.int32),
+            jax.ShapeDtypeStruct((nzp, nby, by, NL), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((8, NL), jnp.float32)],
         interpret=interpret,
-    )(v4, v4)
-    return desc.reshape(nzp * nyp, W)
+    )(v4, v4, jnp.asarray(ex), jnp.asarray(sp))
+    return desc.reshape(nzp * nyp, W), cbrow.reshape(nzp * nyp, NL)
+
+
+# ---------------------------------------------------------------------------
+# Volume variant (bx >= 128): the tokenize kernel reads the scaled
 # coefficient plane directly via BlockSpec index arithmetic — chunk rows
 # for bx >= 128 are contiguous x-runs, so a (zg, by, bx) slab of the
 # padded volume IS a tile of TR consecutive block-major chunks.  The
@@ -741,20 +794,22 @@ def tokenize_desc_stripe_fast(fvv, vol_shape3, block, interpret=False):
     nz, ny, nx = vol_shape3
     bx, by, bz = block
     nbz, nby, nbx = -(-nz // bz), -(-ny // by), -(-nx // bx)
-    nbx2 = wavelet.padded_nbx(nbx, bx)
     rpc = LANES // bx  # x-rows per chunk
     cells = bx * by * bz
     cpb = cells // LANES
     nnn = nbz * nby * nbx
-    desc = tokenize_tiles_stripe(fvv, vol_shape3, block, interpret=interpret)
+    desc, cbrow = tokenize_tiles_stripe(
+        fvv, vol_shape3, block, interpret=interpret
+    )
 
+    # per-chunk bytes from the kernel's per-(row, block-column) counts —
+    # no full-size desc re-read, no (.., bx)-minor lane-padded reduce
     R = desc.shape[0]
-    cost = desc & 7
-    per_xrow = cost.reshape(R, nbx2, bx).sum(-1)
-    per_chunk = per_xrow.reshape(R // rpc, rpc, nbx2).sum(1)
+    NL = cbrow.shape[1]
+    per_chunk = cbrow.reshape(R // rpc, rpc, NL).sum(1)
     # volume (z, y-quad, x-block) -> block-major chunk order; phantom
     # x-pad columns drop in the slice
-    cb6 = per_chunk.reshape(nbz, bz, nby, by // rpc, nbx2)
+    cb6 = per_chunk.reshape(nbz, bz, nby, by // rpc, NL)
     chunk_bytes = (
         cb6.transpose(0, 2, 4, 1, 3)[:, :, :nbx]
         .reshape(nnn, cpb)

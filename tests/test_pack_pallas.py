@@ -55,3 +55,34 @@ def test_pack_kernel_matches_xla(rng):
     for r in range(acap):
         s = int(sizes_row[r])
         np.testing.assert_array_equal(got[r, :s], want[r, :s], err_msg=f"row {r}")
+
+
+def test_patch_extract_interpret(rng):
+    """The stripe patch-extract kernel composes chunk rows from gathered
+    (rpc, xt, 128) plane patches (interpret mode, exact)."""
+    import jax.numpy as jnp
+
+    from cvxcompress_tpu.ops import pack_pallas
+
+    bx, rpc, xt = 32, 4, 3
+    acap = 16
+    gf = (rng.standard_normal((acap, rpc, xt, 128)) * 100).astype(np.float32)
+    gd = rng.integers(0, 1 << 28, size=(acap, rpc, xt, 128), dtype=np.int32)
+    nbx2 = xt * rpc
+    bxi = rng.integers(0, nbx2, size=acap, dtype=np.int32)
+    of, od = pack_pallas.patch_extract(
+        jnp.asarray(gf), jnp.asarray(gd), jnp.asarray(bxi[:, None]),
+        bx, rpc, xt, interpret=True,
+    )
+    of, od = np.asarray(of), np.asarray(od)
+    for i in range(acap):
+        t, w = int(bxi[i]) // rpc, int(bxi[i]) % rpc
+        for k in range(rpc):
+            np.testing.assert_array_equal(
+                of[i, k * bx : (k + 1) * bx],
+                gf[i, k, t, w * bx : (w + 1) * bx],
+            )
+            np.testing.assert_array_equal(
+                od[i, k * bx : (k + 1) * bx],
+                gd[i, k, t, w * bx : (w + 1) * bx],
+            )
