@@ -188,6 +188,36 @@ def _stage_w_stripe(vol, glob_mulfac, block):
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
+def _stage_w_stripe_local(vol, scale, block):
+    """Local-RMS wavelet stage in VOLUME order (bx<128 stripe fast path).
+
+    Per-block RMS of the coefficients (CvxCompress.cpp:343-348) reduced
+    straight from the volume-order plane — one extra full-size read+scale
+    pass vs the global path (the mulfac depends on the transform OUTPUT,
+    so the scale cannot fold into the z contraction).  The f32 reduction
+    order differs from the block-major path's row-sum, so mulfacs can
+    differ by ~1 ulp between the two paths; containers remain
+    self-consistent (they store the mulfac actually used — the same
+    contract as the oracle's f64-accumulation deviation).
+    Returns (scaled plane (nzp*nyp, nxp2), mulfac (nnn,)).
+    """
+    nz, ny, nx = vol.shape
+    bx, by, bz = block
+    nbz, nby, nbx = -(-nz // bz), -(-ny // by), -(-nx // bx)
+    nbx2 = wavelet.padded_nbx(nbx, bx)
+    fvv = wavelet.forward_3d_volume(
+        vol, vol.shape, block, pad_x_blocks=True
+    )
+    v6 = fvv.reshape(nbz, bz, nby, by, nbx2, bx)
+    ss = jnp.sum(jnp.square(v6), axis=(1, 3, 5))
+    rms = jnp.sqrt(ss / jnp.float32(bx * by * bz))
+    mf = quant.mulfac_from_rms(rms, scale)  # (nbz, nby, nbx2); phantoms->1
+    scaled = (v6 * mf[:, None, :, None, :, None]).astype(jnp.float32)
+    mfb = mf[:, :, :nbx].reshape(-1)  # drop phantom x-pad columns
+    return scaled.reshape(nbz * bz * nby * by, nbx2 * bx), mfb
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
 def _raw_chunks_stripe(vol, block):
     """Unscaled x-padded volume-order rows (stripe raw-fallback twin)."""
     return wavelet.forward_3d_volume(
@@ -196,14 +226,21 @@ def _raw_chunks_stripe(vol, block):
 
 
 def _use_stripe_path(vol_shape, block, use_local, chunk):
-    """bx<128 direct-volume stripe tiling — experimental opt-in.
+    """bx<128 direct-volume stripe tiling — opt-in (CVX_STRIPE=1).
 
-    Containers are byte-identical to the standard path (tested, incl. on
-    chip), but the kernel measured ~3x SLOWER at the 32^3 CI config: the
-    cross-row zero-run scans must run at full stripe width (every lane of
-    a bx-group carries the group state), violating the narrow-column scan
-    rule the chunk-row kernel obeys (PERF_NOTES.md round 2).  Gated until
-    the run carry is restructured.
+    Round-3 state (PERF_NOTES "Round 3"): the tokenize side now WINS big
+    — narrow per-column run carry (MXU one-hot extract/spread,
+    block-local indices) + the in-kernel byte-count dot put stripe W+T at
+    8.7 ms vs block-major's 15.1 at the CI config — but the PACK side
+    still loses it: active-chunk (rpc, bx)-patch gathers from the
+    volume-order plane run at ~100 GB/s effective however they are
+    phrased (narrow rows, 128-lane view rows, whole-patch slabs + Pallas
+    extract — all measured), so end-to-end stripe is 26 ms vs 20.
+    Containers are byte-identical to the block-major path for global RMS
+    (tested, incl. on chip); local-RMS mulfacs match to ~1 ulp
+    (_stage_w_stripe_local).  The way in: merge pack into the tokenize
+    kernel so payload staging is built in-tile and only compressed bytes
+    leave (future work).
     """
     import os
 
@@ -212,7 +249,6 @@ def _use_stripe_path(vol_shape, block, use_local, chunk):
     return (
         os.environ.get("CVX_STRIPE") == "1"
         and use_pallas()
-        and not use_local  # local-RMS keeps the block-major reduction order
         and chunk == tp.LANES
         and tp.stripe_path_ok(vol_shape, block)
     )
@@ -268,21 +304,25 @@ def _encode_device(vol_dev, glob_mulfac, scale, use_local, block, chunk):
     cells = bx * by * bz
     shape = tuple(vol_dev.shape)
     if _use_stripe_path(shape, block, use_local, chunk):
-        fvv = _stage_w_stripe(vol_dev, glob_mulfac, block)
+        if use_local:
+            fvv, mf = _stage_w_stripe_local(vol_dev, scale, block)
+        else:
+            fvv = _stage_w_stripe(vol_dev, glob_mulfac, block)
+            mf = None
         desc, cb, sizes, raw, counts = tp.tokenize_desc_stripe_fast(
             fvv, shape, block,
         )
         n = sizes.shape[0]
-        mf = jnp.broadcast_to(glob_mulfac, (n,)).astype(jnp.float32)
-        rmap = stripe_rowmap(shape, block)
+        if mf is None:
+            mf = jnp.broadcast_to(glob_mulfac, (n,)).astype(jnp.float32)
         gcfg = {
-            "row_of_chunk": rmap,
-            "desc_row_of_chunk": rmap,
+            "row_of_chunk": stripe_rowmap(shape, block),  # raw path only
+            "desc_row_of_chunk": None,
             "nchunks": n * (cells // chunk),
             "raw_kind": "stripe",
+            "plane_geom": (shape, block),
         }
-        return (fvv.reshape(-1, bx), desc.reshape(-1, bx), cb, sizes, raw,
-                counts, mf, gcfg)
+        return fvv, desc, cb, sizes, raw, counts, mf, gcfg
     if _use_volume_path(shape, block, use_local, chunk):
         chunks = _stage_w_volume(vol_dev, glob_mulfac, block)
         desc, cb, sizes, raw, counts = tp.tokenize_desc_volume_fast(
@@ -323,6 +363,11 @@ def _gather_rows(mat, idx):
     return jnp.take(mat, idx, axis=0)
 
 
+@jax.jit
+def _sumsq_dev(vol):
+    return jnp.sum(jnp.square(vol))
+
+
 @functools.partial(jax.jit, static_argnames=("block", "chunk"))
 def _raw_chunks(vol, block, chunk):
     """Unscaled coefficient chunks (raw-fallback payload source, rare)."""
@@ -344,8 +389,17 @@ def compress(vol, scale, block=(32, 32, 32), use_local_rms=False,
     `glob_mulfac` overrides the internally computed global quantization
     factor — used by the sharded/multi-host layer, where the global RMS is
     reduced across shards before any shard compresses.
+
+    `vol` may be a DEVICE array (jax.Array): the volume then never leaves
+    HBM — the production RTM shape, where snapshots are born on the chip.
+    Global RMS is computed on device in that case (the host-f64 contract
+    would need a full d2h; the device f32 sum matches it to ~1 ulp of
+    RMS — the same documented deviation as the snapshot stack).
     """
-    vol = np.ascontiguousarray(vol, dtype=F32)
+    if isinstance(vol, jax.Array):
+        vol = vol.astype(jnp.float32)
+    else:
+        vol = np.ascontiguousarray(vol, dtype=F32)
     nz, ny, nx = vol.shape
     bx, by, bz = block
     assert ctn.is_valid_block_size(bx, by, bz), "invalid block size"
@@ -355,7 +409,15 @@ def compress(vol, scale, block=(32, 32, 32), use_local_rms=False,
     if use_local_rms:
         glob_mulfac = F32(1.0)
     elif glob_mulfac is None:
-        glob_mulfac = ctn.compute_glob_mulfac(quant.global_rms_host(vol), scale)
+        if isinstance(vol, jax.Array):
+            rms = np.float32(
+                np.sqrt(np.float64(_sumsq_dev(vol)) / vol.size)
+            )
+            glob_mulfac = ctn.compute_glob_mulfac(rms, scale)
+        else:
+            glob_mulfac = ctn.compute_glob_mulfac(
+                quant.global_rms_host(vol), scale
+            )
     else:
         glob_mulfac = F32(glob_mulfac)
 
@@ -397,12 +459,18 @@ def compress(vol, scale, block=(32, 32, 32), use_local_rms=False,
         acount, lcount = (int(v) for v in np.asarray(counts))
         acap = rle_device.bucket(acount)
         lcap = rle_device.bucket(lcount)
+        pgeom = gcfg.get("plane_geom") if gcfg else None
         subrows, aidx, abytes = rle_device.pack_active(
             coeff_chunks, desc, chunk_bytes, acap, lcap,
             skip_squeeze=(acount == lcount),
-            row_of_chunk=gcfg["row_of_chunk"] if gcfg else None,
-            desc_row_of_chunk=gcfg["desc_row_of_chunk"] if gcfg else None,
+            row_of_chunk=(
+                None if pgeom else (gcfg["row_of_chunk"] if gcfg else None)
+            ),
+            desc_row_of_chunk=(
+                gcfg["desc_row_of_chunk"] if gcfg and not pgeom else None
+            ),
             nchunks_override=gcfg["nchunks"] if gcfg else None,
+            plane_geom=pgeom,
         )
     subrows_h = np.asarray(subrows)
     sizes_h = np.asarray(sizes)
@@ -616,22 +684,23 @@ def _inverse_volume_plane(plane, vol_shape, block):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("vol_shape", "block", "nseg_s")
+    jax.jit, static_argnames=("vol_shape", "block", "nseg_s", "on_tpu")
 )
 def _decode_and_inverse(segs, sub_block, sub_reset, scalefac, vol_shape,
-                        block, nseg_s):
+                        block, nseg_s, on_tpu=False):
     """Entropy parse + inverse wavelet in ONE program (no boundary
     materialization of the coefficient plane)."""
     from . import entropy_decode as ed
 
     plane = ed.decode_to_volume.__wrapped__(
-        segs, sub_block, sub_reset, scalefac, vol_shape, block, nseg_s
+        segs, sub_block, sub_reset, scalefac, vol_shape, block, nseg_s,
+        on_tpu,
     )
     plane = wavelet.apply_x_inverse_rows(plane, block[0])
     return wavelet.inverse_3d_volume(plane, vol_shape, block)
 
 
-def decompress_device(data):
+def decompress_device(data, to_host=True):
     """Fully device-side decompress: entropy parse + inverse on the chip.
 
     Device-complete counterpart of the reference's in-engine decompress
@@ -639,11 +708,14 @@ def decompress_device(data):
     scatter-expand, and the inverse wavelet all run on device; the host
     only parses the container and memcpys the payload into segment rows
     (∝ compressed size).  Returns None when the container's spans are
-    degenerate (host path decides then).
+    degenerate (host path decides then).  `to_host=False` returns the
+    volume as a DEVICE array (no d2h — the RTM backward-pass shape).
     """
     from . import entropy_decode as ed
 
-    p = ed.plan(data)
+    # staging reuse is safe here: the previous call's segs were uploaded
+    # before this call can run (sequential per-thread decompress)
+    p = ed.plan(data, reuse_staging=True)
     if p is None:
         return None
     hdr = p["hdr"]
@@ -654,18 +726,20 @@ def decompress_device(data):
         plane = ed.decode_to_volume(
             jnp.asarray(p["segs"]), jnp.asarray(p["sub_block"]),
             jnp.asarray(p["sub_reset"]), jnp.asarray(p["scalefac"]),
-            vol_shape, block, p["segs"].shape[0],
+            vol_shape, block, p["segs"].shape[0], use_pallas(),
         )
         plane = ed.overlay_raw(
             plane, jnp.asarray(p["raw_rows"]), jnp.asarray(p["raw_ids"]),
             vol_shape, block,
         )
-        return np.asarray(_inverse_volume_plane(plane, vol_shape, block))
-    return np.asarray(_decode_and_inverse(
+        out = _inverse_volume_plane(plane, vol_shape, block)
+        return np.asarray(out) if to_host else out
+    out = _decode_and_inverse(
         jnp.asarray(p["segs"]), jnp.asarray(p["sub_block"]),
         jnp.asarray(p["sub_reset"]), jnp.asarray(p["scalefac"]),
-        vol_shape, block, p["segs"].shape[0],
-    ))
+        vol_shape, block, p["segs"].shape[0], use_pallas(),
+    )
+    return np.asarray(out) if to_host else out
 
 
 def decompress(data, engine="auto"):

@@ -91,25 +91,53 @@ def stage_2_3_transforms(exhaustive):
 
 
 def stage_4_transform_throughput(quick):
+    import jax
     import jax.numpy as jnp
 
     from cvxcompress_tpu.ops import wavelet as dw
     from cvxcompress_tpu.utils import profiling as prof
 
+    on_tpu = jax.default_backend() == "tpu"
     r = np.random.default_rng(2)
     total = (1 << 24) if quick else (1 << 26)
-    print(f"{DIM}  [4] transform throughput ({total >> 20} MCells/round):{END}")
+    if not on_tpu:
+        # CI-class CPU budget: the full cell count took > 7 min off-TPU
+        total = min(total, 1 << 21)
+    # falsifiable floor per backend: far below any healthy run (TPU
+    # measures tens of GC/s, a single CPU core hundreds of MC/s), but a
+    # hung dispatch, a pathological relayout, or an accidental eager path
+    # lands well under it
+    floor_mcs = 1000.0 if on_tpu else 10.0
+    # amortize the dispatch+fetch round trip (tunneled TPUs: ~35 ms RTT,
+    # and block_until_ready does not block — CLAUDE.md): chain K
+    # transforms inside ONE jit with a data dependency, fetch once
+    K = 8 if on_tpu else 1
+
+    def chain(f):
+        @jax.jit
+        def run(x):
+            for _ in range(K):
+                x = f(x)
+            return x
+
+        return run
+
+    worst = float("inf")
+    print(f"{DIM}  [4] transform throughput ({total >> 20} MCells/round,"
+          f" x{K} chained):{END}")
     for bs in ([32, 128] if quick else [8, 16, 32, 64, 128]):
         n = max(1, total // bs**3)
         x = jnp.asarray(r.standard_normal((n, bs, bs, bs)).astype(np.float32))
-        elf, c = prof.fetch_timed(dw.forward_3d, x)
-        eli, _ = prof.fetch_timed(dw.inverse_3d, c)
-        cells = n * bs**3
+        elf, c = prof.fetch_timed(chain(dw.forward_3d), x)
+        eli, _ = prof.fetch_timed(chain(dw.inverse_3d), c)
+        cells = n * bs**3 * K
         gf = prof.lifting_flops_per_cell((bs, bs, bs))
+        worst = min(worst, cells / elf / 1e6, cells / eli / 1e6)
         print(f"      {bs:3}^3: fwd {cells/elf/1e6:8.0f} MC/s"
               f" ({cells*gf/elf/1e9:7.1f} GF/s lifting-equiv)"
               f"  inv {cells/eli/1e6:8.0f} MC/s")
-    check("[4] transform throughput", True, "reported above")
+    check("[4] transform throughput", worst >= floor_mcs,
+          f"worst {worst:.0f} MC/s (floor {floor_mcs:.0f})")
 
 
 def stage_5_6_block_layout(exhaustive):
