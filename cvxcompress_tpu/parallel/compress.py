@@ -263,9 +263,12 @@ def _decode_inv_stage(mesh, block, bps, sseg):
 
     bx, by, bz = block
 
+    pallas_ok = meshlib.is_tpu_mesh(mesh)
+
     def run(segs, sblk, srst, ssf):
         dense = ed.decode_to_blocks.__wrapped__(
-            segs[0], sblk[0], srst[0], ssf[0], bps, (bx, by, bz), sseg
+            segs[0], sblk[0], srst[0], ssf[0], bps, (bx, by, bz), sseg,
+            pallas_ok,
         )
         out = wavelet.inverse_3d(dense.reshape(bps, bz, by, bx))
         return out[None]
@@ -291,21 +294,36 @@ def _shard_decode_plan(data, nnn, cells, n_shards):
     degenerate spans).  Subsegments are block-sorted, so each shard's
     slice is one contiguous run; slices pad to a uniform whole-row count
     with inert rows (local block id = bps -> scatter targets discard).
+
+    Shard boundaries are SUBSEGMENT-balanced, not block-count-balanced:
+    SPMD pads every shard to the largest shard's parse size, so with
+    skewed payloads the expensive side (the entropy parse, cost ∝
+    subsegments) is what must be equalized; the dense block batch pads to
+    the max per-shard block count instead (zero blocks — near-free).
     """
     from ..ops import entropy_decode as ed
 
     p = ed.plan(data)
     if p is None or p["raw_ids"].size:
         return None
-    bps = (nnn + meshlib.pad_to_shards(nnn, n_shards)) // n_shards
     sub_block = p["sub_block"]
     subs32 = p["segs"].reshape(-1, ed.W)
-    bounds = np.searchsorted(
-        sub_block, np.arange(n_shards + 1) * bps, side="left"
-    )
+    nsub_real = int(np.searchsorted(sub_block, nnn, side="left"))
+    # block-aligned boundaries equalizing subsegments per shard (a
+    # block's subsegment run never splits across shards)
+    targets = (np.arange(1, n_shards) * nsub_real) // n_shards
+    cut = sub_block[np.minimum(targets, max(nsub_real - 1, 0))] \
+        if nsub_real else np.zeros(n_shards - 1, np.int64)
+    bstart = np.concatenate([[0], cut, [nnn]]).astype(np.int64)
+    bstart = np.maximum.accumulate(bstart)  # monotone for tiny inputs
+    bounds = np.searchsorted(sub_block, bstart, side="left")
     counts = np.diff(bounds)
+    bps = max(int(np.diff(bstart).max()), 1)
     smax = -(-int(counts.max()) // ed.SPS) * ed.SPS  # whole 512-B rows
     smax = max(smax, ed.SPS)
+    scalefac = p["scalefac"]
+    if scalefac.shape[0] == 1:  # global-RMS scalar form (see ed.plan)
+        scalefac = np.broadcast_to(scalefac, (subs32.shape[0],))
     segs = np.zeros((n_shards, smax // ed.SPS, ed.SEG), np.uint8)
     sblk = np.full((n_shards, smax), bps, np.int32)
     srst = np.ones((n_shards, smax), bool)
@@ -314,12 +332,12 @@ def _shard_decode_plan(data, nnn, cells, n_shards):
         r0, r1 = int(bounds[s]), int(bounds[s + 1])
         k = r1 - r0
         segs[s].reshape(-1, ed.W)[:k] = subs32[r0:r1]
-        sblk[s, :k] = sub_block[r0:r1] - s * bps
+        sblk[s, :k] = sub_block[r0:r1] - bstart[s]
         srst[s, :k] = p["sub_reset"][r0:r1]
-        ssf[s, :k] = p["scalefac"][r0:r1]
+        ssf[s, :k] = scalefac[r0:r1]
     return {
         "segs": segs, "sblk": sblk, "srst": srst, "ssf": ssf,
-        "bps": bps, "sseg": smax // ed.SPS,
+        "bps": bps, "sseg": smax // ed.SPS, "bstart": bstart,
     }
 
 
@@ -351,9 +369,13 @@ def decompress(data, mesh=None):
         args = [
             jax.device_put(sp[k], sh) for k in ("segs", "sblk", "srst", "ssf")
         ]
-        out_blocks = np.asarray(
+        ob = np.asarray(
             _decode_inv_stage(mesh, block, sp["bps"], sp["sseg"])(*args)
-        ).reshape(-1, hdr.bz, hdr.by, hdr.bx)[:nnn]
+        ).reshape(n_shards, sp["bps"], hdr.bz, hdr.by, hdr.bx)
+        bstart = sp["bstart"]
+        out_blocks = np.concatenate([
+            ob[s, : bstart[s + 1] - bstart[s]] for s in range(n_shards)
+        ])
         return blkops.from_blocks_np(
             out_blocks, (hdr.nz, hdr.ny, hdr.nx), block
         )

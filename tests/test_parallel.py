@@ -131,3 +131,37 @@ def test_sharded_decompress_uses_device_parse(rng):
         np.sqrt(np.mean(b.astype(np.float64) ** 2)) + 1e-30
     )
     assert rel < 1e-6, rel
+
+
+def test_sharded_decode_subsegment_balanced_skew(rng):
+    """Skewed payload distributions get subsegment-balanced shard
+    boundaries: no chip pays a worst-shard parse cost ~n_shards times the
+    mean (the round-2 plan padded every shard to the LARGEST shard's
+    block-count slice).  Output still matches the single-chip engine."""
+    from cvxcompress_tpu.ops import entropy_decode as ed
+
+    # all payload mass in the low-z third of the volume
+    vol = np.zeros((48, 16, 16), np.float32)
+    vol[:16] = rng.standard_normal((16, 16, 16)).astype(np.float32) * 100
+    vol[16:] += 1e-6  # quantizes to zero everywhere else
+    data, _ = jcodec.compress(vol, 1e-1, block=(8, 8, 8))
+    mesh = meshlib.make_mesh()
+    n = mesh.devices.size
+    if n < 2:
+        return
+    hdr = jcodec.ctn.unpack(data)[0]
+    sp = pcompress._shard_decode_plan(data, hdr.grid[3], 512, n)
+    assert sp is not None
+    # per-shard real subsegment counts (rows with a local block id < bps)
+    counts = (sp["sblk"] < sp["bps"]).sum(axis=1)
+    mean = counts.sum() / n
+    assert counts.max() <= max(2 * mean, counts.sum() / (n - 0.5) + ed.SPS), (
+        counts.tolist()
+    )
+    # block boundaries are non-uniform under skew (balance happened)
+    assert np.diff(sp["bstart"]).max() > np.diff(sp["bstart"]).min()
+    out_p = pcompress.decompress(data, mesh=mesh)
+    out_s = jcodec.decompress(data)
+    denom = np.sqrt(np.mean(out_s.astype(np.float64) ** 2)) + 1e-30
+    rel = np.sqrt(np.mean((out_p - out_s).astype(np.float64) ** 2)) / denom
+    assert rel < 1e-6, rel
