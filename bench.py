@@ -30,10 +30,19 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# honor an explicit JAX_PLATFORMS=cpu (smoke runs / CI): the ambient TPU
+# plugin overrides the env var through this environment's tunnel
+# (CLAUDE.md), but jax.config is respected if set before device init
+if os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 BASELINE_ROUNDTRIP = 1660.0  # MC/s, harmonic mean of reference 2150/7303
 BASELINE_COMPRESS = 2150.0
@@ -131,11 +140,18 @@ def bench_device_compress(vol, block, scale, rtt, iters=6):
 
         def full(v):
             chunks, desc, cb, mf, counts, gcfg = run(v)
+            pgeom = gcfg.get("plane_geom") if gcfg else None
             sub, aidx, ab = rle_device.pack_active(
                 chunks, desc, cb, acap, lcap, skip_squeeze=skip,
-                row_of_chunk=gcfg["row_of_chunk"] if gcfg else None,
-                desc_row_of_chunk=gcfg["desc_row_of_chunk"] if gcfg else None,
+                row_of_chunk=(
+                    None if pgeom
+                    else (gcfg["row_of_chunk"] if gcfg else None)
+                ),
+                desc_row_of_chunk=(
+                    gcfg["desc_row_of_chunk"] if gcfg and not pgeom else None
+                ),
                 nchunks_override=gcfg["nchunks"] if gcfg else None,
+                plane_geom=pgeom,
             )
             return sub
 
@@ -206,6 +222,53 @@ def bench_host_stream(vol, block, scale, n_vols=4, workers=6):
     return el / n_vols, res[0]
 
 
+def bench_sustained(vol, block, scale, rtt, n_vols=8, workers=4):
+    """Sustained roundtrip throughput INCLUDING the recurring host work.
+
+    Streams n_vols DEVICE-RESIDENT volumes through the full compress
+    (device pipeline + count/subrow readbacks + host container assembly)
+    and through the full decompress (host segment plan + h2d + device
+    entropy parse + inverse), with the per-volume host work overlapped
+    across volumes by worker threads — the measured counterpart of the
+    round-2 claim that host assembly/planning hides under the device
+    stream.  Volumes originate and reconstructions stay in HBM (the RTM
+    production shape); the tunnel's raw-volume transfer floor is not
+    charged to the codec.  Returns per-volume (compress_s, decompress_s).
+    """
+    import concurrent.futures as cf
+
+    import jax
+    import jax.numpy as jnp
+
+    from cvxcompress_tpu.ops import codec as jcodec
+
+    vd = [jax.device_put(vol * (1.0 + 1e-6 * j)) for j in range(n_vols)]
+    fetch1(vd[-1])
+    # warm every compiled shape + host codepath
+    data0, _ = jcodec.compress(vd[0], scale, block=block)
+    out0 = jcodec.decompress_device(data0, to_host=False)
+    fetch1(out0)
+
+    @jax.jit
+    def probe_all(xs):
+        return sum(jnp.ravel(x)[0] for x in xs)
+
+    with cf.ThreadPoolExecutor(workers) as ex:
+        t0 = time.perf_counter()
+        datas = list(ex.map(
+            lambda v: jcodec.compress(v, scale, block=block)[0], vd
+        ))
+        t_c = (time.perf_counter() - t0) / n_vols
+
+        t0 = time.perf_counter()
+        outs = list(ex.map(
+            lambda d: jcodec.decompress_device(d, to_host=False), datas
+        ))
+        fetch1(probe_all(outs))  # one fetch, data-dependent on every output
+        t_d = max((time.perf_counter() - t0 - rtt) / n_vols, 1e-9)
+    return t_c, t_d
+
+
 def bench_snapshots(vol, block, scale, rtt, iters=6):
     """DeviceSnapshotStack append/reconstruct throughput (HBM-resident)."""
     import jax
@@ -235,6 +298,71 @@ def bench_snapshots(vol, block, scale, rtt, iters=6):
     fetch1(last)
     t_pop = max((time.perf_counter() - t0 - rtt) / iters, 1e-9)
     return t_app, t_pop
+
+
+def bench_block_sweep(rtt):
+    """Per-block-size perf: transform fwd/inv and codec roundtrip.
+
+    The reference publishes transform fwd+inv MCells/s for 8^3..256^3
+    (README.md:35-40, harness CvxCompress.cpp:803-891); this sweep
+    records the TPU numbers side by side, plus full codec compress /
+    decompress at each size on a 256^3 sinusoid.  Transforms are chained
+    K deep inside one jit (tunnel discipline).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from cvxcompress_tpu.ops import codec as jcodec
+    from cvxcompress_tpu.ops import wavelet as dw
+
+    K = 4
+    r = np.random.default_rng(5)
+    sweep = {}
+    vol = make_volume(256, 256, 256)
+    for bs in (8, 16, 32, 64, 128, 256):
+        n = max(1, (1 << 26) // bs**3)
+        x = jax.device_put(
+            r.standard_normal((n, bs, bs, bs)).astype(np.float32)
+        )
+
+        def chain(f):
+            @jax.jit
+            def run(x):
+                for _ in range(K):
+                    x = f(x)
+                return x
+
+            return run
+
+        entry = {}
+        for tag, f in (("fwd", dw.forward_3d), ("inv", dw.inverse_3d)):
+            g = chain(f)
+            fetch1(g(x))
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                y = g(x)
+                fetch1(y)
+                best = min(best, time.perf_counter() - t0)
+            el = max((best - rtt) / K, 1e-9)
+            entry[f"transform_{tag}_mcells_s"] = round(n * bs**3 / el / 1e6)
+        tf = entry["transform_fwd_mcells_s"]
+        ti = entry["transform_inv_mcells_s"]
+        entry["transform_fwdinv_mcells_s"] = round(
+            2.0 / (1.0 / tf + 1.0 / ti)
+        )
+
+        block = (bs, bs, bs)
+        data, _ = jcodec.compress(vol, 1e-2, block=block)
+        t_c = bench_device_compress(vol, block, 1e-2, rtt, iters=3)
+        t_d, _ = bench_device_decompress(data, vol.shape, rtt, iters=3)
+        entry["compress_mcells_s"] = round(vol.size / t_c / 1e6)
+        entry["decompress_mcells_s"] = round(vol.size / t_d / 1e6)
+        sweep[f"{bs}c"] = entry
+        log(f"[sweep {bs:3}^3] fwd {tf} MC/s inv {ti} MC/s "
+            f"compress {entry['compress_mcells_s']} "
+            f"decompress {entry['decompress_mcells_s']}")
+    return sweep
 
 
 def bench_quality(vol, block, scale):
@@ -315,6 +443,13 @@ def main():
         log(f"[{name}] snapshot stack append {snap_a:.0f} MC/s, "
             f"reconstruct {snap_p:.0f} MC/s")
 
+        t_sc, t_sd = bench_sustained(
+            vol, block, scale, rtt, n_vols=2 * iters, workers=4
+        )
+        sus_c, sus_d = ncells / t_sc / 1e6, ncells / t_sd / 1e6
+        log(f"[{name}] sustained (host work included, {2*iters} vols): "
+            f"compress {sus_c:.0f} MC/s, decompress {sus_d:.0f} MC/s")
+
         results[name] = {
             "cells": int(ncells),
             "ratio": round(float(ratio), 1),
@@ -325,11 +460,19 @@ def main():
             "host_assembly_ms": round(host_asm * 1e3, 2),
             "host_plan_ms": round(t_plan * 1e3, 2),
             "host_pipelined_compress_mcells_s": round(host_c, 1),
+            "pipelined_sustained_compress_mcells_s": round(sus_c, 1),
+            "pipelined_sustained_decompress_mcells_s": round(sus_d, 1),
             "snapshot_append_mcells_s": round(snap_a, 1),
             "snapshot_reconstruct_mcells_s": round(snap_p, 1),
         }
 
     detail.update(results)
+    if not args.quick:
+        detail["block_sweep"] = bench_block_sweep(rtt)
+        detail["block_sweep"]["reference_fwdinv_mcells_s"] = {
+            "8c": 25725, "16c": 34178, "32c": 22680,
+            "64c": 10934, "128c": 2962, "256c": 6661,
+        }
     detail["baseline"] = {
         "reference_compress_mcells_s": BASELINE_COMPRESS,
         "reference_decompress_mcells_s": BASELINE_DECOMPRESS,
