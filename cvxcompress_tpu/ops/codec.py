@@ -226,32 +226,33 @@ def _raw_chunks_stripe(vol, block):
 
 
 def _use_stripe_path(vol_shape, block, use_local, chunk):
-    """bx<128 direct-volume stripe tiling — opt-in (CVX_STRIPE=1).
+    """bx<128 direct-volume stripe tiling.  Returns "", "seg" or "patch".
 
-    Round-3 state (PERF_NOTES "Round 3"): the tokenize side now WINS big
-    — narrow per-column run carry (MXU one-hot extract/spread,
-    block-local indices) + the in-kernel byte-count dot put stripe W+T at
-    8.7 ms vs block-major's 15.1 at the CI config — but the PACK side
-    still loses it: active-chunk (rpc, bx)-patch gathers from the
-    volume-order plane run at ~100 GB/s effective however they are
-    phrased (narrow rows, 128-lane view rows, whole-patch slabs + Pallas
-    extract — all measured), so end-to-end stripe is 26 ms vs 20.
-    Containers are byte-identical to the block-major path for global RMS
-    (tested, incl. on chip); local-RMS mulfacs match to ~1 ulp
-    (_stage_w_stripe_local).  The way in: merge pack into the tokenize
-    kernel so payload staging is built in-tile and only compressed bytes
-    leave (future work).
+    Round-3 state (PERF_NOTES "Round 3"): the narrow per-column run
+    carry put stripe W+T at 8.7 ms vs block-major's 15.1 at the CI
+    config, and the SEGMENT pack (pack_active_stripe_seg) replaced the
+    gather-bound (rpc, bx)-patch recomposition — active data moves as
+    plain 128-lane row gathers of the plane's thirds view, and the pack
+    unit is the per-(row, block-column) segment, so nothing is ever
+    recomposed to chunk-major.  CVX_STRIPE=0 disables; CVX_STRIPE=patch
+    keeps the older patch-gather pack for A/B comparison.
     """
     import os
 
     from . import tokenize_pallas as tp
 
-    return (
-        os.environ.get("CVX_STRIPE") == "1"
-        and use_pallas()
+    # default pending the on-chip A/B (flip to "1" once the seg pack is
+    # measured faster than block-major at the CI config)
+    mode = os.environ.get("CVX_STRIPE", "0")
+    if mode not in ("1", "seg", "patch"):
+        return ""
+    if not (
+        use_pallas()
         and chunk == tp.LANES
         and tp.stripe_path_ok(vol_shape, block)
-    )
+    ):
+        return ""
+    return "patch" if mode == "patch" else "seg"
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
@@ -290,6 +291,22 @@ def _use_volume_path(vol_shape, block, use_local, chunk):
     )
 
 
+def _use_fused_w(vol_shape, block, use_local, chunk):
+    """Fused x/z + y/scale/tokenize kernels for (128,128,128) blocks —
+    opt-in (CVX_FUSED_W=1) pending the on-chip A/B vs the staged path."""
+    import os
+
+    from . import fused_compress as fc
+
+    return (
+        os.environ.get("CVX_FUSED_W") == "1"
+        and use_pallas()
+        and not use_local  # local RMS needs whole-block reductions
+        and chunk == 128
+        and fc.fused_path_ok(vol_shape, block)
+    )
+
+
 def _encode_device(vol_dev, glob_mulfac, scale, use_local, block, chunk):
     """W + T stages with the best available tokenizer.
 
@@ -303,15 +320,30 @@ def _encode_device(vol_dev, glob_mulfac, scale, use_local, block, chunk):
     bx, by, bz = block
     cells = bx * by * bz
     shape = tuple(vol_dev.shape)
-    if _use_stripe_path(shape, block, use_local, chunk):
-        if use_local:
-            fvv, mf = _stage_w_stripe_local(vol_dev, scale, block)
-        else:
-            fvv = _stage_w_stripe(vol_dev, glob_mulfac, block)
+    stripe_mode = _use_stripe_path(shape, block, use_local, chunk)
+    if stripe_mode:
+        import os as _os
+
+        if (
+            _os.environ.get("CVX_STRIPE_FUSED") == "1"
+            and not use_local
+            and tp.stripe_fused_ok(shape, block)
+        ):
+            # ONE kernel: pad stays in XLA, everything else (x/y/z
+            # cascades, scaling, tokenize) runs in VMEM per block row
+            fvv, desc, cbrow, cb, sizes, raw, counts = (
+                tp.stripe_fused_encode(vol_dev, glob_mulfac, shape, block)
+            )
             mf = None
-        desc, cb, sizes, raw, counts = tp.tokenize_desc_stripe_fast(
-            fvv, shape, block,
-        )
+        else:
+            if use_local:
+                fvv, mf = _stage_w_stripe_local(vol_dev, scale, block)
+            else:
+                fvv = _stage_w_stripe(vol_dev, glob_mulfac, block)
+                mf = None
+            desc, cbrow, cb, sizes, raw, counts = (
+                tp.tokenize_desc_stripe_fast(fvv, shape, block)
+            )
         n = sizes.shape[0]
         if mf is None:
             mf = jnp.broadcast_to(glob_mulfac, (n,)).astype(jnp.float32)
@@ -321,8 +353,20 @@ def _encode_device(vol_dev, glob_mulfac, scale, use_local, block, chunk):
             "nchunks": n * (cells // chunk),
             "raw_kind": "stripe",
             "plane_geom": (shape, block),
+            "seg": stripe_mode == "seg",
+            "cbrow": cbrow,
+            "raw_dev": raw,
         }
         return fvv, desc, cb, sizes, raw, counts, mf, gcfg
+    if _use_fused_w(shape, block, use_local, chunk):
+        from . import fused_compress as fc
+
+        fv, desc, cb, sizes, raw, counts = fc.tokenize_desc_fused(
+            vol_dev, jnp.float32(glob_mulfac), shape, block,
+        )
+        n = sizes.shape[0]
+        mf = jnp.broadcast_to(glob_mulfac, (n,)).astype(jnp.float32)
+        return fv, desc, cb, sizes, raw, counts, mf, None
     if _use_volume_path(shape, block, use_local, chunk):
         chunks = _stage_w_volume(vol_dev, glob_mulfac, block)
         desc, cb, sizes, raw, counts = tp.tokenize_desc_volume_fast(
@@ -449,6 +493,7 @@ def compress(vol, scale, block=(32, 32, 32), use_local_rms=False,
             fvc, dscc, meta, counts[0], acap, lcap
         )
         rowmap = None
+        seg = False
     else:
         coeff_chunks, desc, chunk_bytes, sizes, raw, counts, mf, gcfg = (
             _encode_device(
@@ -456,22 +501,41 @@ def compress(vol, scale, block=(32, 32, 32), use_local_rms=False,
                 jnp.float32(scale), use_local_rms, (bx, by, bz), chunk,
             )
         )
-        acount, lcount = (int(v) for v in np.asarray(counts))
-        acap = rle_device.bucket(acount)
-        lcap = rle_device.bucket(lcount)
-        pgeom = gcfg.get("plane_geom") if gcfg else None
-        subrows, aidx, abytes = rle_device.pack_active(
-            coeff_chunks, desc, chunk_bytes, acap, lcap,
-            skip_squeeze=(acount == lcount),
-            row_of_chunk=(
-                None if pgeom else (gcfg["row_of_chunk"] if gcfg else None)
-            ),
-            desc_row_of_chunk=(
-                gcfg["desc_row_of_chunk"] if gcfg and not pgeom else None
-            ),
-            nchunks_override=gcfg["nchunks"] if gcfg else None,
-            plane_geom=pgeom,
-        )
+        counts_h = np.asarray(counts)
+        acount, lcount = int(counts_h[0]), int(counts_h[1])
+        seg = bool(gcfg and gcfg.get("seg"))
+        if seg:
+            # stripe SEGMENT pack: 128-lane thirds-view row gathers, the
+            # per-segment staging kernel, subrow squeeze (rle_device.
+            # pack_active_stripe_seg) — counts[2:5] size the buckets
+            tcount, scount, slcount = (int(v) for v in counts_h[2:5])
+            tcap = -(-max(64, rle_device.bucket(tcount)) // 64) * 64
+            scap = rle_device.bucket(scount)
+            lcap = rle_device.bucket(slcount)
+            shape3, blk3 = gcfg["plane_geom"]
+            fv3 = coeff_chunks.reshape(-1, 128)
+            d3 = desc.reshape(-1, 128)
+            subrows, aidx, abytes = rle_device.pack_active_stripe_seg(
+                fv3, d3, gcfg["cbrow"], gcfg["raw_dev"],
+                tcap, scap, lcap, (shape3, blk3),
+            )
+            acount = scount  # assembly consumes per-SEGMENT metadata
+        else:
+            acap = rle_device.bucket(acount)
+            lcap = rle_device.bucket(lcount)
+            pgeom = gcfg.get("plane_geom") if gcfg else None
+            subrows, aidx, abytes = rle_device.pack_active(
+                coeff_chunks, desc, chunk_bytes, acap, lcap,
+                skip_squeeze=(acount == lcount),
+                row_of_chunk=(
+                    None if pgeom else (gcfg["row_of_chunk"] if gcfg else None)
+                ),
+                desc_row_of_chunk=(
+                    gcfg["desc_row_of_chunk"] if gcfg and not pgeom else None
+                ),
+                nchunks_override=gcfg["nchunks"] if gcfg else None,
+                plane_geom=pgeom,
+            )
     subrows_h = np.asarray(subrows)
     sizes_h = np.asarray(sizes)
     raw_h = np.asarray(raw)
@@ -503,15 +567,21 @@ def compress(vol, scale, block=(32, 32, 32), use_local_rms=False,
     aidx_h = np.asarray(aidx)  # d2h fetches (tunnel RTT), not host work
     abytes_h = np.asarray(abytes)
     t0 = _time.perf_counter()
-    assemble = (
-        rle_device.assemble_payload_filtered
-        if fused
-        else rle_device.assemble_payload_sparse
-    )
-    stream, _total = assemble(
-        subrows_h, aidx_h, abytes_h, acount,
-        sizes_h, raw_h, raw_bytes_h, cells, chunk,
-    )
+    if seg:
+        stream, _total = rle_device.assemble_payload_segments(
+            subrows_h, aidx_h, abytes_h, acount,
+            sizes_h, raw_h, raw_bytes_h, cells, (bx, by, bz), (nz, ny, nx),
+        )
+    else:
+        assemble = (
+            rle_device.assemble_payload_filtered
+            if fused
+            else rle_device.assemble_payload_sparse
+        )
+        stream, _total = assemble(
+            subrows_h, aidx_h, abytes_h, acount,
+            sizes_h, raw_h, raw_bytes_h, cells, chunk,
+        )
 
     hdr = ctn.Header(nx, ny, nz, bx, by, bz, glob_mulfac, use_local_rms)
     data = ctn.pack_stream(

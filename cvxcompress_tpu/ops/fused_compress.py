@@ -1,0 +1,239 @@
+"""Fused wavelet+tokenize Pallas kernels for (128, 128, 128) blocks.
+
+The staged 128^3 compress pipeline (pad -> x/y/z einsums -> scale ->
+tokenize kernel) makes ~5 full-size HBM round trips; its wavelet stage
+alone measured 3.96 ms at the north-star config (PERF_NOTES round 2).
+This module folds the whole device encode front into TWO kernels, each a
+single read+write pass:
+
+  K1 (x+z):  (bz, 8, bx) volume slabs; per y-slice the z cascade is ONE
+             full-MXU (128,128)@(128,128) dot and the x cascade one more
+             (right-multiplied by the transposed operator).  x and z
+             commute with y exactly as linear maps (the reference's
+             x->y->z order, Wavelet_Transform_Slow.cpp:275-279, is a
+             choice of float rounding order, not of semantics; this
+             path's output stays inside the 1e-5 oracle contract).
+  K2 (y+scale+tokenize): (8, by, bx) chunk-order slabs; per z-slice the
+             y cascade is one full-MXU dot, then mulfac scaling, then
+             the PROVEN _tile_desc tokenize body (scalar zero-run carry,
+             sequential chunk-major grid) — emitting BOTH the scaled
+             coefficient chunks (pack's gather source) and descriptors.
+
+Traffic: read vol + write plane (K1) + read plane + write fv + desc (K2)
+= 5 array passes total vs ~9 for the staged path, and every matmul is a
+full 128x128 MXU tile.  Gated to block == (128,128,128) with
+block-aligned volume dims (the north-star shape); other configs keep the
+staged paths.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import tokenize_pallas as tp
+from . import wavelet
+
+I32 = jnp.int32
+F32 = jnp.float32
+B = 128  # the one block extent this fused path serves
+YG = 8  # y-rows per K1 slab
+ZG = 8  # z-layers per K2 slab (chunk-order tiles: 8*128 rows == tp.TR)
+
+
+def fused_path_ok(vol_shape3, block):
+    """(128,128,128) blocks over block-aligned volume dims."""
+    nz, ny, nx = vol_shape3
+    return (
+        tuple(block) == (B, B, B)
+        and nz % B == 0 and ny % B == 0 and nx % B == 0
+        and tp.TR == ZG * B
+    )
+
+
+def _kernel_xz(v_ref, opz_ref, opxt_ref, out_ref):
+    """(bz, YG, bx) slab: z cascade then x cascade, per y-slice."""
+    hi = jax.lax.Precision.HIGHEST
+    opz = opz_ref[:]
+    opxt = opxt_ref[:]
+    for y in range(YG):
+        t = v_ref[:, y, :]  # (bz, bx)
+        t = jnp.dot(opz, t, preferred_element_type=F32, precision=hi)
+        t = jnp.dot(t, opxt, preferred_element_type=F32, precision=hi)
+        out_ref[:, y, :] = t
+
+
+@functools.partial(jax.jit, static_argnames=("vol_shape3", "interpret"))
+def forward_xz(vol, vol_shape3, interpret=False):
+    """Padded (nz, ny, nx) volume -> x+z-transformed plane, one pass."""
+    nz, ny, nx = vol_shape3
+    opz = wavelet._f32(wavelet.forward_matrix(B))
+    opxt = wavelet._f32(wavelet.forward_matrix(B).T)
+    grid = (nz // B, ny // YG, nx // B)
+    return pl.pallas_call(
+        _kernel_xz,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, YG, B), lambda zi, yi, xi: (zi, yi, xi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, B), lambda zi, yi, xi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, B), lambda zi, yi, xi: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, YG, B), lambda zi, yi, xi: (zi, yi, xi),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32),
+        interpret=interpret,
+    )(vol, opz, opxt)
+
+
+def _kernel_ytok(v_ref, win_ref, opy_ref, mf_ref, fv_ref, desc_ref,
+                 carry_ref, scratch, *, ncpb):
+    """(ZG, by, bx) chunk-order slab: y cascade + scale + tokenize.
+
+    Grid order is chunk-major (tiles per block follow the z cascade of
+    chunks), so the zero-run scalar carry semantics are exactly
+    _kernel_vol's.  The lookahead value is computed from the NEXT tile's
+    first z-layer window: y-transform its x-lane-0 column, scale, and
+    hand _tile_desc an (8, 128) array whose [0, 0] holds it.
+    """
+    i = pl.program_id(0)
+    hi = jax.lax.Precision.HIGHEST
+
+    @pl.when(i == 0)
+    def _init():
+        carry_ref[0] = -1
+
+    opy = opy_ref[:]
+    mf = mf_ref[:]  # (1, 1) broadcasts over every slice
+    for z in range(ZG):
+        t = v_ref[z, :, :]  # (by, bx)
+        t = jnp.dot(opy, t, preferred_element_type=F32, precision=hi)
+        scratch[z * B : (z + 1) * B, :] = t * mf
+
+    fv = scratch[:]
+    # lookahead: next tile's first cell, y-transformed + scaled with the
+    # IDENTICAL dot shape + multiply the next tile itself will run (a
+    # sliced dot could round differently and desynchronize run_end from
+    # the next tile's actual membership)
+    wv = win_ref[0, :, :]  # (by, bx) first z-layer of the NEXT tile
+    w2 = jnp.dot(opy, wv, preferred_element_type=F32, precision=hi) * mf
+    rb = jax.lax.broadcasted_iota(I32, (B, B), 0)
+    lb = jax.lax.broadcasted_iota(I32, (B, B), 1)
+    nxt0 = jnp.sum(jnp.where((rb == 0) & (lb == 0), w2, 0.0))
+    r8 = jax.lax.broadcasted_iota(I32, (8, B), 0)
+    l8 = jax.lax.broadcasted_iota(I32, (8, B), 1)
+    nxt = jnp.where((r8 == 0) & (l8 == 0), nxt0, 0.0)
+
+    desc, _cost, carry_out = tp._tile_desc(fv, nxt, carry_ref[0], i, ncpb)
+    carry_ref[0] = carry_out
+    fv_ref[:] = fv
+    desc_ref[:] = desc
+
+
+@functools.partial(jax.jit, static_argnames=("vol_shape3", "interpret"))
+def tokenize_fused_y(plane, mulfac, vol_shape3, interpret=False):
+    """x+z plane -> (fv_chunks, desc) via the fused y+scale+tokenize pass.
+
+    Outputs are chunk-major (nchunks, 128): fv is the scaled coefficient
+    source pack_active gathers from (identity row map), desc the usual
+    descriptors.
+    """
+    nz, ny, nx = vol_shape3
+    nbz, nby, nbx = nz // B, ny // B, nx // B
+    cpb = B * B * B // 128
+    nchunks = nbz * nby * nbx * cpb
+    tpb = cpb // tp.TR  # tiles per block == bz // ZG
+    ntiles = nchunks // tp.TR
+    opy = wavelet._f32(wavelet.forward_matrix(B))
+    mf = jnp.reshape(jnp.asarray(mulfac, jnp.float32), (1, 1))
+
+    def in_map(t):
+        b = t // tpb
+        w = t % tpb
+        bzi = b // (nby * nbx)
+        byi = (b // nbx) % nby
+        bxi = b % nbx
+        return (bzi * (B // ZG) + w, byi, bxi)
+
+    def look_map(t):
+        t1 = jnp.minimum(t + 1, ntiles - 1)
+        b = t1 // tpb
+        w = t1 % tpb
+        bzi = b // (nby * nbx)
+        byi = (b // nbx) % nby
+        bxi = b % nbx
+        return (bzi * B + w * ZG, byi, bxi)
+
+    fv, desc = pl.pallas_call(
+        functools.partial(_kernel_ytok, ncpb=cpb),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((ZG, B, B), in_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, B), look_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, B), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tp.TR, 128), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp.TR, 128), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nchunks, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nchunks, 128), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((tp.TR, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(plane, plane, opy, mf)
+    return fv, desc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("vol_shape3", "block", "interpret")
+)
+def tokenize_desc_fused(vol, glob_mulfac, vol_shape3, block,
+                        interpret=False):
+    """Fused-path producer: (fv_chunks, desc, chunk_bytes, sizes, raw,
+    counts) — drop-in for the standard bx>=128 encode front."""
+    from . import rle_device
+
+    assert fused_path_ok(vol_shape3, block)
+    cells = B * B * B
+    plane = forward_xz(vol, vol_shape3, interpret=interpret)
+    fv, desc = tokenize_fused_y(
+        plane, glob_mulfac, vol_shape3, interpret=interpret
+    )
+    nchunks = desc.shape[0]
+    ncpb = cells // 128
+    n = nchunks // ncpb
+    chunk_bytes = (desc & 7).sum(-1).reshape(n, ncpb)
+    sizes0 = chunk_bytes.sum(-1)
+    raw = sizes0 > 4 * cells
+    sizes = jnp.where(raw, I32(4 * cells), sizes0)
+    chunk_bytes = jnp.where(raw[:, None], I32(0), chunk_bytes).reshape(nchunks)
+    active = chunk_bytes > 0
+    acount = active.sum(dtype=I32)
+    lcount = (
+        (chunk_bytes + (rle_device.SUBROW - 1)) // rle_device.SUBROW
+    ).sum(dtype=I32)
+    counts = jnp.stack([acount, lcount])
+    return fv, desc, chunk_bytes, sizes, raw, counts
+
+
+# Raw-fallback blocks reuse the standard _raw_chunks einsum twin (the
+# stored raw coefficients need only be valid block coefficients — every
+# transform variant here is inside the 1e-5 oracle contract, and raw
+# payload size is the fixed 4*cells regardless).

@@ -286,6 +286,217 @@ def _kernel(fv_ref, dsc_ref, s5_ref, sall_ref, out_ref, *, out_cols=SQ):
     out_ref[:] = x[:, :out_cols]
 
 
+@functools.lru_cache(maxsize=None)
+def _spread_matrices_seg(bx):
+    """Per-SEGMENT spread matrices for the stripe pack kernel.
+
+    A gathered 128-lane stripe row holds 128//bx independent bx-cell
+    segments (block columns).  Cell i's k-th byte lands at staging lane
+    pitch*(i//bx) + 5*(i%bx) + k, where pitch = ceil(5*bx/64)*64 —
+    SUBROW-aligned so each segment's payload occupies its own whole
+    subrows and the XLA squeeze needs no cross-segment arithmetic.
+    """
+    nseg = Q // bx
+    pitch = -(-5 * bx // 64) * 64
+    out = nseg * pitch
+    ss = []
+    for k in range(5):
+        m = np.zeros((Q, out), np.float32)
+        i = np.arange(Q)
+        m[i, pitch * (i // bx) + 5 * (i % bx) + k] = 1.0
+        ss.append(m)
+    return np.stack(ss), np.stack(ss).sum(0), pitch, out
+
+
+def _kernel_seg(fv_ref, dsc_ref, s5_ref, sall_ref, out_ref, *, bx, pitch,
+                out_cols):
+    """Stripe-segment variant of _kernel: serialize each bx-cell segment
+    of a gathered 128-lane stripe row into its own pitch-lane staging
+    slot (prefix sums, spread targets, and the monotone log-shift all
+    group-masked to segment boundaries).  bx == 128 degenerates to the
+    chunk kernel's math exactly."""
+    fv = fv_ref[:]  # (gr, Q) f32 scaled coefficients (live stripe thirds)
+    dsc = dsc_ref[:]  # (gr, Q) i32 descriptors
+    gr = fv.shape[0]
+
+    lane = jax.lax.broadcasted_iota(I32, (gr, Q), 1)
+    gl = lane % bx
+
+    in_range = (fv >= jnp.float32(-2147483648.0)) & (
+        fv < jnp.float32(2147483648.0)
+    )
+    trv = jnp.trunc(jnp.where(in_range, fv, 0.0))
+    iv = jnp.where(in_range, trv.astype(I32), I32(tp.INT32_MIN))
+    izero = iv == 0
+    is_byte = (iv > -125) & (iv < 125)
+    is_short = (iv >= -32768) & (iv <= 32767)
+    is_i3 = (iv >= -8388608) & (iv <= 8388607)
+
+    code = (
+        izero.astype(I32)
+        + (is_byte.astype(I32) << 4)
+        + (is_short.astype(I32) << 8)
+        + (is_i3.astype(I32) << 12)
+    )
+    l8 = lane % 8
+    y = code
+    for s in (1, 2, 4):
+        y = y + jnp.where(l8 < 8 - s, pltpu.roll(y, Q - s, 1), 0)
+    nzero = y & 15
+    nb = (y >> 4) & 15
+    ns = (y >> 8) & 15
+    n3 = (y >> 12) & 15
+    nozero = nzero == 0
+    allbyte = nozero & (nb == 8)
+    allshort = nozero & ~allbyte & (ns == 8) & (nb + (8 - nb) * 3 > 17)
+    alli3 = (
+        nozero & ~allbyte & ~allshort & (n3 == 8)
+        & (nb + (ns - nb) * 3 + (8 - ns) * 4 > 25)
+    )
+    mode = jnp.where(allbyte, 1, jnp.where(allshort, 2, jnp.where(alli3, 3, 0)))
+    mode = jnp.where(l8 == 0, mode, 0)
+    for s in (1, 2, 4):
+        mode = mode | jnp.where(l8 >= s, pltpu.roll(mode, s, 1), 0)
+
+    cost = dsc & 7
+    rl = jax.lax.shift_right_logical(dsc, 4)
+    lane0 = l8 == 0
+    pb, ps, p3 = mode == 1, mode == 2, mode == 3
+    member = izero
+    cb_ = is_byte & ~izero
+    cs_ = is_short & ~is_byte
+    c3_ = is_i3 & ~is_short
+    big = rl >= 256
+    split = member & (cost == 5)
+    fvb = jax.lax.bitcast_convert_type(fv, I32)
+
+    def sel(*pairs_and_default):
+        out = pairs_and_default[-1]
+        for i in range(len(pairs_and_default) - 3, -1, -2):
+            out = jnp.where(pairs_and_default[i], pairs_and_default[i + 1], out)
+        return out
+
+    plane0 = sel(
+        pb, _byte(iv, 0),
+        ps, jnp.where(lane0, _B_VLESC2_8X, _byte(iv, 0)),
+        p3, jnp.where(lane0, _B_VLESC3_8X, _byte(iv, 0)),
+        member, sel((rl == 1) & ~split, 0, big | split, _B_RLESC3, _B_RLESC1),
+        cb_, _byte(iv, 0),
+        cs_, _B_VLESC2,
+        c3_, _B_VLESC3,
+        _B_VLESC4,
+    )
+    plane1 = sel(
+        ps, jnp.where(lane0, _byte(iv, 0), _byte(iv, 1)),
+        p3, jnp.where(lane0, _byte(iv, 0), _byte(iv, 1)),
+        member, _byte(rl, 0),
+        cb_ | pb, 0,
+        cs_ | c3_, _byte(iv, 0),
+        _byte(fvb, 0),
+    )
+    plane2 = sel(
+        ps, _byte(iv, 1),
+        p3, jnp.where(lane0, _byte(iv, 1), _byte(iv, 2)),
+        member, _byte(rl, 1),
+        cs_ | c3_, _byte(iv, 1),
+        _byte(fvb, 1),
+    )
+    plane3 = sel(
+        p3, _byte(iv, 2),
+        member, _byte(rl, 2),
+        c3_, _byte(iv, 2),
+        _byte(fvb, 2),
+    )
+    plane4 = sel(
+        member, 0,
+        _byte(fvb, 3),
+    )
+
+    hi = jax.lax.Precision.HIGHEST
+    s5 = s5_ref[:]  # (5, Q, out_cols) per-segment selection matrices
+    staging = jnp.dot(plane0.astype(F32), s5[0],
+                      preferred_element_type=F32, precision=hi)
+    staging += jnp.dot(plane1.astype(F32), s5[1],
+                       preferred_element_type=F32, precision=hi)
+    staging += jnp.dot(plane2.astype(F32), s5[2],
+                       preferred_element_type=F32, precision=hi)
+    staging += jnp.dot(plane3.astype(F32), s5[3],
+                       preferred_element_type=F32, precision=hi)
+    staging += jnp.dot(plane4.astype(F32), s5[4],
+                       preferred_element_type=F32, precision=hi)
+    staging = staging.astype(I32)
+
+    # per-byte move distances WITHIN each segment: off = segment-local
+    # exclusive prefix of cost, dist[pitch*g + 5q + k] = 5q - off_q
+    ps_ = cost
+    s = 1
+    while s < bx:
+        ps_ = ps_ + jnp.where(gl >= s, pltpu.roll(ps_, s, 1), 0)
+        s *= 2
+    off = ps_ - cost
+    base = 5 * gl - off
+    sall = sall_ref[:]
+    d0 = jnp.dot((base + 1).astype(F32), sall,
+                 preferred_element_type=F32, precision=hi)
+    cost5 = jnp.dot(cost.astype(F32), sall,
+                    preferred_element_type=F32, precision=hi)
+    ocols = jax.lax.broadcasted_iota(I32, (gr, out_cols), 1)
+    u = ocols % pitch  # position within the segment's staging slot
+    kcol = u % 5
+    liv = (u < 5 * bx) & (kcol < cost5.astype(I32))
+    dist = jnp.where(liv, d0.astype(I32) - 1, -1)
+
+    # monotone log-shift front-pack, group-masked to pitch-lane segments
+    x = staging
+    s = 1
+    while s < 5 * bx:
+        guard = u < pitch - s
+        inc_d = jnp.where(guard, pltpu.roll(dist, out_cols - s, 1), -1)
+        inc_x = jnp.where(guard, pltpu.roll(x, out_cols - s, 1), 0)
+        take = (inc_d >= 0) & ((inc_d & s) != 0)
+        moveout = (dist >= 0) & ((dist & s) != 0)
+        x = jnp.where(take, inc_x, x)
+        dist = jnp.where(take, inc_d - s, jnp.where(moveout, -1, dist))
+        s *= 2
+    out_ref[:] = x
+
+
+@functools.partial(jax.jit, static_argnames=("bx", "interpret"))
+def pack_staging_seg(fv_rows, desc_rows, bx, interpret=False):
+    """(A, 128) gathered live stripe thirds -> per-SEGMENT packed staging.
+
+    Each input row holds 128//bx independent bx-cell segments (block
+    columns of the volume-order stripe plane); the output row packs each
+    segment's payload bytes front-aligned in its own SUBROW-aligned
+    pitch-lane slot (values 0..255 in i32 lanes).  Segment s of row i
+    thus occupies whole subrows — the XLA squeeze selects live ones
+    directly.  Returns (A, (128//bx)*pitch) i32; pitch = ceil(5*bx/64)*64.
+    """
+    a, q = fv_rows.shape
+    assert q == Q and Q % bx == 0
+    gr = GR
+    while a % gr:
+        gr //= 2
+    assert gr >= 8, f"row count {a} not a multiple of 8"
+    s5, sall, pitch, out = _spread_matrices_seg(bx)
+    return pl.pallas_call(
+        functools.partial(_kernel_seg, bx=bx, pitch=pitch, out_cols=out),
+        grid=(a // gr,),
+        in_specs=[
+            pl.BlockSpec((gr, Q), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gr, Q), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, Q, out), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, out), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((gr, out), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((a, out), jnp.int32),
+        interpret=interpret,
+    )(fv_rows, desc_rows, jnp.asarray(s5), jnp.asarray(sall))
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "out_cols"))
 def pack_staging(fv_rows, desc_rows, interpret=False, out_cols=SQ):
     """(A, 128) gathered scaled coeffs + descriptors -> packed

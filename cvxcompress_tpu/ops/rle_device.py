@@ -518,6 +518,209 @@ def pack_active(fv_chunks, desc, chunk_bytes, acap, lcap,
     return _subrow_squeeze(packed, abytes, acap, lcap, chunk, aidx)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("tcap", "scap", "lcap", "plane_geom"),
+)
+def pack_active_stripe_seg(fv3, d3, cbrow, raw, tcap, scap, lcap,
+                           plane_geom):
+    """PASS 2 for the bx<128 stripe path, SEGMENT-granular (round 3).
+
+    Replaces the gather-bound (rpc, bx)-patch recomposition (measured
+    ~10-16 ms at the CI config, PERF_NOTES round 3 #2): the pack unit
+    becomes the SEGMENT — one stripe row's bx cells of one block column —
+    so active data is fetched as plain 128-lane row gathers of the
+    plane's (R*T, 128) "thirds" view and never recomposed to chunk-major
+    at all.  The container stream is unchanged: a block's payload is the
+    concat of its segments in (z, y) row order, which the host assembly
+    emits from per-segment spans (assemble_payload_segments).
+
+    fv3 / d3: the scaled-coefficient and descriptor planes viewed as
+    (R*T, 128) (reshaped at a jit boundary — the codec does this
+    eagerly); cbrow (R, NL) per-(row, block-column) byte counts from the
+    stripe tokenize kernel; raw (nnn,) bool.  tcap/scap/lcap: host-chosen
+    buckets for live thirds / live segments / live subrows (from the
+    stripe counts readback).  Returns (subrows (lcap, SUBROW) u8,
+    sidx (scap,) global segment ids, sbytes (scap,)) — segments in
+    stripe-row-major order (NOT block order; assembly reorders).
+    """
+    from . import pack_pallas, wavelet as _wav
+
+    vol_shape3, blk = plane_geom
+    nz, ny, nx = vol_shape3
+    bx, by, bz = blk
+    nbz, nby, nbx = -(-nz // bz), -(-ny // by), -(-nx // bx)
+    nbx2 = _wav.padded_nbx(nbx, bx)
+    rpc = 128 // bx
+    T = nbx2 // rpc
+    R = nbz * bz * nby * by
+    pitch = -(-5 * bx // SUBROW) * SUBROW
+    spseg = pitch // SUBROW
+
+    cbm = _masked_seg_bytes(cbrow, raw, vol_shape3, blk)
+    cb_t3 = cbm.reshape(R * T, rpc)
+
+    # live-third compaction + row gathers (row-granular, 128-lane rows)
+    tlive = jnp.any(cb_t3 > 0, axis=1)
+    (tpk,), tcount = pack.compact_live(
+        (jnp.arange(R * T, dtype=I32),), tlive, pack.ceil_log2(R * T)
+    )
+    tidx = _fit(jnp.where(jnp.arange(R * T, dtype=I32) < tcount, tpk, 0),
+                tcap)
+    trow = jnp.arange(tcap, dtype=I32)
+    gf = jnp.take(fv3, tidx, axis=0)
+    gd = jnp.take(d3, tidx, axis=0)
+    gcb = jnp.where(
+        (trow < tcount)[:, None], jnp.take(cb_t3, tidx, axis=0), 0
+    )
+
+    packed = pack_pallas.pack_staging_seg(gf, gd, bx).astype(U8)
+
+    # per-segment metadata in gathered (third-major) order
+    sb_flat = gcb.reshape(tcap * rpc)
+    sid_flat = (tidx[:, None] * rpc
+                + jnp.arange(rpc, dtype=I32)[None, :]).reshape(tcap * rpc)
+    stacked = jnp.stack([sid_flat, sb_flat])
+    packed2, count2 = pack.compact_live(
+        (stacked,), jnp.broadcast_to(sb_flat > 0, (2, tcap * rpc)),
+        pack.ceil_log2(tcap * rpc),
+    )
+    scount = count2[0]
+    srow = jnp.arange(tcap * rpc, dtype=I32)
+    sidx = _fit(jnp.where(srow < scount, packed2[0][0], 0), scap)
+    sbytes = _fit(jnp.where(srow < scount, packed2[0][1], 0), scap)
+
+    # live-subrow squeeze: segment (i, j) owns subrows
+    # (i*rpc + j)*spseg .. +spseg of the packed staging
+    nsub = (sb_flat + (SUBROW - 1)) // SUBROW  # <= spseg by construction
+    sub_live = (
+        jnp.arange(spseg, dtype=I32)[None, :] < nsub[:, None]
+    ).reshape(tcap * rpc * spseg)
+    (lidx,), lcount = pack.compact_live(
+        (jnp.arange(tcap * rpc * spseg, dtype=I32),), sub_live,
+        pack.ceil_log2(tcap * rpc * spseg),
+    )
+    lidx = _fit(
+        jnp.where(jnp.arange(tcap * rpc * spseg, dtype=I32) < lcount,
+                  lidx, 0),
+        lcap,
+    )
+    subrows = jnp.take(
+        packed.reshape(tcap * rpc * spseg, SUBROW), lidx, axis=0
+    )
+    return subrows, sidx, sbytes
+
+
+def _masked_seg_bytes(cbrow, raw, vol_shape3, blk):
+    """(R, nbx2) per-segment byte counts with phantom x-pad columns and
+    raw-fallback blocks' segments zeroed (shared by the stripe tokenize
+    counts and the segment pack)."""
+    from . import wavelet as _wav
+
+    nz, ny, nx = vol_shape3
+    bx, by, bz = blk
+    nbz, nby, nbx = -(-nz // bz), -(-ny // by), -(-nx // bx)
+    nbx2 = _wav.padded_nbx(nbx, bx)
+    R = nbz * bz * nby * by
+    cb12 = cbrow[:, :nbx2]
+    raw3 = jnp.pad(
+        raw.reshape(nbz, nby, nbx), ((0, 0), (0, 0), (0, nbx2 - nbx)),
+        constant_values=True,  # phantom columns masked like raw blocks
+    )
+    rawm = jnp.broadcast_to(
+        raw3[:, None, :, None, :], (nbz, bz, nby, by, nbx2)
+    ).reshape(R, nbx2)
+    return jnp.where(rawm, 0, cb12)
+
+
+def stripe_seg_counts(cbrow, raw, vol_shape3, blk):
+    """Device scalars [live thirds, live segments, live subrows] for the
+    segment pack's capacity planning (computed inside the stripe tokenize
+    producer jit; an extra 12-byte readback alongside the chunk counts)."""
+    from . import wavelet as _wav
+
+    bx = blk[0]
+    rpc = 128 // bx
+    pitch = -(-5 * bx // SUBROW) * SUBROW
+    cbm = _masked_seg_bytes(cbrow, raw, vol_shape3, blk)
+    R2 = cbm.shape[0] * cbm.shape[1] // rpc
+    cb_t3 = cbm.reshape(R2, rpc)
+    tcount = jnp.any(cb_t3 > 0, axis=1).sum(dtype=I32)
+    scount = (cbm > 0).sum(dtype=I32)
+    slcount = ((cbm + (SUBROW - 1)) // SUBROW).sum(dtype=I32)
+    return jnp.stack([tcount, scount, slcount])
+
+
+def assemble_payload_segments(subrows_h, sidx_h, sbytes_h, scount, sizes_h,
+                              raw_h, raw_bytes_h, cells, blk, vol_shape3):
+    """Host: ragged concat from per-SEGMENT metadata (stripe seg path).
+
+    Segments arrive in stripe-row-major order (r-major, then block
+    column); the container needs block order.  A stable argsort by block
+    id groups them while preserving the within-block (z, y) row order —
+    everything here is ∝ live segments (∝ compressed size).
+    """
+    sizes = np.asarray(sizes_h, dtype=np.int64)
+    raw = np.asarray(raw_h, dtype=bool)
+    sid = np.asarray(sidx_h[:scount], dtype=np.int64)
+    sb = np.asarray(sbytes_h[:scount], dtype=np.int64)
+
+    total = int(sizes.sum())
+    stream = np.empty(total, dtype=np.uint8)
+    block_base = np.cumsum(sizes) - sizes
+
+    if scount:
+        nz, ny, nx = vol_shape3
+        bx, by, bz = blk
+        nbz, nby, nbx = -(-nz // bz), -(-ny // by), -(-nx // bx)
+        from . import wavelet as _wav
+
+        nbx2 = _wav.padded_nbx(nbx, bx)
+        nyp = nby * by
+
+        # subrow source offsets accrue in ARRIVAL (stripe) order
+        nsub = (sb + SUBROW - 1) // SUBROW
+        src = (np.cumsum(nsub) - nsub) * SUBROW
+
+        r = sid // nbx2
+        g = sid % nbx2  # < nbx (phantom/raw segments carry 0 bytes)
+        blkid = (r // nyp // bz) * (nby * nbx) + (r % nyp // by) * nbx + g
+        order = np.argsort(blkid, kind="stable")
+        blk_s, sb_s, src_s = blkid[order], sb[order], src[order]
+
+        excl = np.cumsum(sb_s) - sb_s
+        first = np.empty(len(order), dtype=bool)
+        first[0] = True
+        np.not_equal(blk_s[1:], blk_s[:-1], out=first[1:])
+        start_excl = np.maximum.accumulate(np.where(first, excl, 0))
+        dst = block_base[blk_s] + (excl - start_excl)
+
+        flat = np.ascontiguousarray(subrows_h, dtype=np.uint8).reshape(-1)
+        try:
+            from . import rle_host
+
+            native = rle_host.available()
+        except Exception:
+            native = False
+        if native:
+            from . import rle_host
+
+            rle_host.ragged_copy(flat, src_s, stream, dst, sb_s)
+        else:
+            tot = int(sb_s.sum())
+            sidx2 = np.repeat(src_s - (np.cumsum(sb_s) - sb_s), sb_s) \
+                + np.arange(tot)
+            didx2 = np.repeat(dst - (np.cumsum(sb_s) - sb_s), sb_s) \
+                + np.arange(tot)
+            stream[didx2] = flat[sidx2]
+
+    if raw.any():
+        rb = np.ascontiguousarray(raw_bytes_h, dtype=np.uint8)
+        for i, b in enumerate(np.nonzero(raw)[0]):
+            stream[block_base[b] : block_base[b] + 4 * cells] = rb[i]
+    return stream, total
+
+
 def _subrow_squeeze(packed, abytes, acap, lcap, chunk, aidx):
     """Live-subrow selection + row-gather (d2h ∝ compressed bytes)."""
     spq = 5 * chunk // SUBROW

@@ -683,6 +683,224 @@ def tokenize_tiles_stripe(fvv, vol_shape3, block, interpret=False):
 
 
 # ---------------------------------------------------------------------------
+# Fused stripe mega-kernel (bx < 128): wavelet x/y/z + scale + tokenize
+# in ONE pass.  Tiles are FULL block rows (zg == bz, (bz, by, W) in
+# VMEM), so per-axis cascades run as in-VMEM dots with contiguous
+# scratch layouts:
+#   z-mix:  slice y -> (bz, W), OpZ @ slice, write BY-MAJOR rows
+#           [y*bz, (y+1)*bz)  (contiguous);
+#   y-mix:  leading-split view (by, bz, W), slice z -> (by, W),
+#           OpY @ slice, write VOLUME-ORDER rows [z*by, (z+1)*by)
+#           (contiguous — the strided-write trap of the naive order
+#           never appears);
+#   x-mix:  one (TRS, W) @ blockdiag dot;
+# then the proven _tile_desc_stripe body tokenizes.  zg == bz also
+# makes every tile end at a block z-boundary: the run carry resets per
+# tile and the lookahead value is irrelevant (block_end forces
+# run_end), so no cross-tile coupling exists at all.
+# x,z-before-y rounding differs from the staged einsums by ~1 ulp
+# (commuting linear maps, same operators) — inside the 1e-5 oracle
+# contract; containers stay self-consistent.
+# ---------------------------------------------------------------------------
+
+
+def stripe_fused_ok(vol_shape3, block):
+    """Gate for the fused stripe kernel: stripe geometry with zg == bz
+    and VMEM-sized (bz*by, W) buffers."""
+    bx, by, bz = block
+    if not stripe_path_ok(vol_shape3, block):
+        return False
+    nz, ny, nx = vol_shape3
+    from . import wavelet
+
+    nbx = -(-nx // bx)
+    W = wavelet.padded_nbx(nbx, bx) * bx
+    TRS = bz * by
+    return TRS % 8 == 0 and TRS * W * 4 <= (3 << 20)
+
+
+def _kernel_stripe_fused(v_ref, opz_ref, opy_ref, opxt_ref, ex_ref, sp_ref,
+                         mf_ref, fv_ref, desc_ref, cb_ref, sA, sB, *, geom):
+    byi = pl.program_id(0)
+    zt = pl.program_id(1)  # == bzi (one tile per block row)
+    bx, by, zg, bz, nbx2, nby, cells = geom
+    W = nbx2 * bx
+    hi = jax.lax.Precision.HIGHEST
+
+    a4 = v_ref[:, 0, :, :]  # (bz, by, W) raw padded volume slab
+    opz = opz_ref[:]
+    opy = opy_ref[:]
+    for y in range(by):
+        sA[y * bz : (y + 1) * bz, :] = jnp.dot(
+            opz, a4[:, y, :], preferred_element_type=jnp.float32,
+            precision=hi,
+        )
+    vA = sA[:].reshape(by, bz, W)
+    for z in range(bz):
+        sB[z * by : (z + 1) * by, :] = jnp.dot(
+            opy, vA[:, z, :], preferred_element_type=jnp.float32,
+            precision=hi,
+        )
+    xw = jnp.dot(sB[:], opxt_ref[:], preferred_element_type=jnp.float32,
+                 precision=hi)
+    fv = xw * mf_ref[:]  # (1, 1) or (1, W) broadcast (global / local mf)
+
+    carry0 = jnp.full((1, ex_ref.shape[1]), -1.0, jnp.float32)
+    nxt_row = jnp.zeros((1, W), I32) != 0  # block_end forces run_end
+    desc, cbrow, _carry = _tile_desc_stripe(
+        fv, nxt_row, carry0, zt, byi, geom, ex_ref[:], sp_ref[:]
+    )
+    for zl in range(zg):
+        fv_ref[zl, 0, :, :] = fv[zl * by : (zl + 1) * by, :]
+        desc_ref[zl, 0, :, :] = desc[zl * by : (zl + 1) * by, :]
+        cb_ref[zl, 0, :, :] = cbrow[zl * by : (zl + 1) * by, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("vol_shape3", "block", "interpret")
+)
+def stripe_fused_tiles(vpad, glob_mulfac, vol_shape3, block,
+                       interpret=False):
+    """(nzp*nyp, nxp2) PADDED RAW volume plane -> (fv, desc, cbrow).
+
+    fv is the scaled volume-order coefficient plane (identical layout to
+    _stage_w_stripe's output — the pack stage gathers from it), desc and
+    cbrow as tokenize_tiles_stripe.
+    """
+    nz, ny, nx = vol_shape3
+    bx, by, bz = block
+    from . import wavelet
+
+    nbz, nby, nbx = -(-nz // bz), -(-ny // by), -(-nx // bx)
+    nbx2 = wavelet.padded_nbx(nbx, bx)
+    nzp, nyp, W = nbz * bz, nby * by, nbx2 * bx
+    assert vpad.shape == (nzp * nyp, W)
+    cells = bx * by * bz
+    geom = (bx, by, bz, bz, nbx2, nby, cells)  # zg == bz
+    v4 = vpad.reshape(nzp, nby, by, W)
+    TRS = bz * by
+
+    NL = max(128, -(-nbx2 // 128) * 128)
+    ex = np.zeros((W, NL), np.float32)
+    ex[np.arange(nbx2) * bx + bx - 1, np.arange(nbx2)] = 1.0
+    sp = np.zeros((NL, W), np.float32)
+    sp[np.arange(W) // bx, np.arange(W)] = 1.0
+
+    opz = wavelet._f32(wavelet.forward_matrix(bz)) if bz > 1 else \
+        jnp.eye(max(bz, 1), dtype=jnp.float32)
+    opy = wavelet._f32(wavelet.forward_matrix(by))
+    opxt = jnp.asarray(wavelet._blockdiag(bx, W, inverse=False).T)
+    mf = jnp.reshape(jnp.asarray(glob_mulfac, jnp.float32), (1, 1))
+
+    def in_map(byi, zt):
+        return (zt, byi, 0, 0)
+
+    fv, desc, cbrow = pl.pallas_call(
+        functools.partial(_kernel_stripe_fused, geom=geom),
+        grid=(nby, nbz),
+        in_specs=[
+            pl.BlockSpec((bz, 1, by, W), in_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bz, bz), lambda byi, zt: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((by, by), lambda byi, zt: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, W), lambda byi, zt: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, NL), lambda byi, zt: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NL, W), lambda byi, zt: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda byi, zt: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bz, 1, by, W), in_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bz, 1, by, W), in_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bz, 1, by, NL), in_map, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nzp, nby, by, W), jnp.float32),
+            jax.ShapeDtypeStruct((nzp, nby, by, W), jnp.int32),
+            jax.ShapeDtypeStruct((nzp, nby, by, NL), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TRS, W), jnp.float32),
+            pltpu.VMEM((TRS, W), jnp.float32),
+        ],
+        interpret=interpret,
+    )(v4, opz, opy, opxt, jnp.asarray(ex), jnp.asarray(sp), mf)
+    return (
+        fv.reshape(nzp * nyp, W),
+        desc.reshape(nzp * nyp, W),
+        cbrow.reshape(nzp * nyp, NL),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("vol_shape3", "block", "interpret")
+)
+def stripe_fused_encode(vol, glob_mulfac, vol_shape3, block,
+                        interpret=False):
+    """Fully fused stripe producer: RAW volume in, (fv_plane, desc,
+    cbrow, chunk_bytes, sizes, raw, counts) out — subsumes
+    _stage_w_stripe + tokenize_desc_stripe_fast in one kernel pass plus
+    the XLA pad."""
+    from . import wavelet
+
+    nz, ny, nx = vol_shape3
+    bx, by, bz = block
+    nbz, nby, nbx = -(-nz // bz), -(-ny // by), -(-nx // bx)
+    nbx2 = wavelet.padded_nbx(nbx, bx)
+    nzp, nyp, nxp2 = nbz * bz, nby * by, nbx2 * bx
+    vpad = jnp.pad(
+        vol, ((0, nzp - nz), (0, nyp - ny), (0, nxp2 - nx))
+    ).reshape(nzp * nyp, nxp2)
+    fv, desc, cbrow = stripe_fused_tiles(
+        vpad, glob_mulfac, vol_shape3, block, interpret=interpret
+    )
+    cb, sizes, raw, counts = _stripe_accounting(
+        cbrow, vol_shape3, block
+    )
+    return fv, desc, cbrow, cb, sizes, raw, counts
+
+
+def _stripe_accounting(cbrow, vol_shape3, block):
+    """Shared XLA epilogue: per-chunk bytes (block-major), per-block
+    sizes, raw flags, and the chunk+segment capacity counts."""
+    from . import rle_device, wavelet
+
+    nz, ny, nx = vol_shape3
+    bx, by, bz = block
+    nbz, nby, nbx = -(-nz // bz), -(-ny // by), -(-nx // bx)
+    rpc = LANES // bx
+    cells = bx * by * bz
+    cpb = cells // LANES
+    nnn = nbz * nby * nbx
+    R = cbrow.shape[0]
+    NL = cbrow.shape[1]
+    per_chunk = cbrow.reshape(R // rpc, rpc, NL).sum(1)
+    cb6 = per_chunk.reshape(nbz, bz, nby, by // rpc, NL)
+    chunk_bytes = (
+        cb6.transpose(0, 2, 4, 1, 3)[:, :, :nbx]
+        .reshape(nnn, cpb)
+    )
+    sizes0 = chunk_bytes.sum(-1)
+    raw = sizes0 > 4 * cells
+    sizes = jnp.where(raw, I32(4 * cells), sizes0)
+    chunk_bytes = jnp.where(
+        raw[:, None], I32(0), chunk_bytes
+    ).reshape(nnn * cpb)
+    active = chunk_bytes > 0
+    acount = active.sum(dtype=I32)
+    lcount = (
+        (chunk_bytes + (rle_device.SUBROW - 1)) // rle_device.SUBROW
+    ).sum(dtype=I32)
+    segc = rle_device.stripe_seg_counts(cbrow, raw, vol_shape3, block)
+    counts = jnp.concatenate([jnp.stack([acount, lcount]), segc])
+    return chunk_bytes, sizes, raw, counts
+
+
+# ---------------------------------------------------------------------------
 # Volume variant (bx >= 128): the tokenize kernel reads the scaled
 # coefficient plane directly via BlockSpec index arithmetic — chunk rows
 # for bx >= 128 are contiguous x-runs, so a (zg, by, bx) slab of the
@@ -791,42 +1009,16 @@ def tokenize_desc_stripe_fast(fvv, vol_shape3, block, interpret=False):
     """
     from . import rle_device, wavelet
 
-    nz, ny, nx = vol_shape3
-    bx, by, bz = block
-    nbz, nby, nbx = -(-nz // bz), -(-ny // by), -(-nx // bx)
-    rpc = LANES // bx  # x-rows per chunk
-    cells = bx * by * bz
-    cpb = cells // LANES
-    nnn = nbz * nby * nbx
     desc, cbrow = tokenize_tiles_stripe(
         fvv, vol_shape3, block, interpret=interpret
     )
-
     # per-chunk bytes from the kernel's per-(row, block-column) counts —
-    # no full-size desc re-read, no (.., bx)-minor lane-padded reduce
-    R = desc.shape[0]
-    NL = cbrow.shape[1]
-    per_chunk = cbrow.reshape(R // rpc, rpc, NL).sum(1)
-    # volume (z, y-quad, x-block) -> block-major chunk order; phantom
-    # x-pad columns drop in the slice
-    cb6 = per_chunk.reshape(nbz, bz, nby, by // rpc, NL)
-    chunk_bytes = (
-        cb6.transpose(0, 2, 4, 1, 3)[:, :, :nbx]
-        .reshape(nnn, cpb)
+    # no full-size desc re-read, no (.., bx)-minor lane-padded reduce;
+    # the counts carry the stripe SEGMENT capacity scalars at [2:5]
+    chunk_bytes, sizes, raw, counts = _stripe_accounting(
+        cbrow, vol_shape3, block
     )
-    sizes0 = chunk_bytes.sum(-1)
-    raw = sizes0 > 4 * cells
-    sizes = jnp.where(raw, I32(4 * cells), sizes0)
-    chunk_bytes = jnp.where(
-        raw[:, None], I32(0), chunk_bytes
-    ).reshape(nnn * cpb)
-    active = chunk_bytes > 0
-    acount = active.sum(dtype=I32)
-    lcount = (
-        (chunk_bytes + (rle_device.SUBROW - 1)) // rle_device.SUBROW
-    ).sum(dtype=I32)
-    counts = jnp.stack([acount, lcount])
-    return desc, chunk_bytes, sizes, raw, counts
+    return desc, cbrow, chunk_bytes, sizes, raw, counts
 
 
 @functools.partial(

@@ -269,7 +269,7 @@ def test_stripe_tokenize_matches_blockmajor_interpret(rng):
     real[rng.random(real.shape) < 0.85] = 0.0
     fvv[:, : nbx * 32] = real
 
-    d_v, cb_v, sz_v, raw_v, cnt_v = tp.tokenize_desc_stripe_fast(
+    d_v, _cbrow, cb_v, sz_v, raw_v, cnt_v = tp.tokenize_desc_stripe_fast(
         jnp.asarray(fvv), shape, block, interpret=True
     )
 
@@ -290,7 +290,7 @@ def test_stripe_tokenize_matches_blockmajor_interpret(rng):
     np.testing.assert_array_equal(np.asarray(cb_v), np.asarray(cb_b))
     np.testing.assert_array_equal(np.asarray(sz_v), np.asarray(sz_b))
     np.testing.assert_array_equal(np.asarray(raw_v), np.asarray(raw_b))
-    np.testing.assert_array_equal(np.asarray(cnt_v), np.asarray(cnt_b))
+    np.testing.assert_array_equal(np.asarray(cnt_v)[:2], np.asarray(cnt_b))
 
 
 def test_stripe_compress_path_container_parity(monkeypatch):
@@ -420,3 +420,144 @@ def test_noncontiguous_and_f64_inputs():
     np.testing.assert_array_equal(d1, d2)
     d3, _ = jcodec.compress(strided.astype(np.float64), 1e-2, block=(8, 8, 8))
     np.testing.assert_array_equal(d1, d3)
+
+
+def _interpret_kernels(monkeypatch):
+    import jax.experimental.pallas as pl
+
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+
+
+@pytest.mark.parametrize(
+    "shape,block,density,scale",
+    [
+        ((64, 96, 96), (32, 32, 32), 0.15, 30.0),   # mixed classes, sparse
+        ((64, 96, 96), (32, 32, 32), 0.9, 2000.0),  # dense + raw blocks
+        ((64, 64, 160), (16, 32, 32), 0.2, 30.0),   # bx=16, T>1 thirds
+        ((32, 64, 96), (8, 16, 32), 0.3, 30.0),     # bx=8 (rpc=16)
+        ((64, 64, 192), (64, 32, 64), 0.25, 30.0),  # bx=64, pitch=5*bx
+    ],
+)
+def test_stripe_seg_container_parity_random(monkeypatch, rng, shape, block,
+                                            density, scale):
+    """The SEGMENT stripe pack emits byte-identical containers to the
+    standard path on adversarial random data: every token class (incl.
+    VLESC4 raw floats), zero runs straddling rows/segments/thirds,
+    raw-fallback blocks, phantom x-pad columns (interpret kernels)."""
+    from cvxcompress_tpu.ops import tokenize_pallas as tp
+
+    _interpret_kernels(monkeypatch)
+    assert tp.stripe_path_ok(shape, block)
+    vol = (rng.standard_normal(shape) * scale).astype(np.float32)
+    vol[rng.random(shape) >= density] = 0.0
+    # a handful of huge values to force VLESC4 / int-range edge tokens
+    flat = vol.reshape(-1)
+    hot = rng.integers(0, flat.size, 50)
+    flat[hot] = (rng.standard_normal(50) * 3e9).astype(np.float32)
+
+    ref, _ = jcodec.compress(vol, 1e-2, block=block)  # standard CPU path
+
+    monkeypatch.setenv("CVX_STRIPE", "1")
+    monkeypatch.setattr(jcodec, "use_pallas", lambda: True)
+    assert jcodec._use_stripe_path(shape, block, False, 128) == "seg"
+    got, _ = jcodec.compress(vol, 1e-2, block=block)
+    np.testing.assert_array_equal(ref, got)
+    # and the containers decode (host engine) to the same volume
+    np.testing.assert_array_equal(
+        jcodec.decompress(ref, engine="host"),
+        jcodec.decompress(got, engine="host"),
+    )
+
+
+def test_stripe_patch_mode_still_matches(monkeypatch, rng):
+    """CVX_STRIPE=patch (the older patch-gather pack) emits byte-identical
+    containers to the SEG pack — both consume the same stripe plane, so
+    this is exact (the standard path's blocked einsums differ by ~1 ulp
+    at truncation edges on random data and are compared elsewhere)."""
+    shape, block = (64, 96, 96), (32, 32, 32)
+    _interpret_kernels(monkeypatch)
+    vol = (rng.standard_normal(shape) * 40).astype(np.float32)
+    vol[rng.random(shape) >= 0.2] = 0.0
+    monkeypatch.setattr(jcodec, "use_pallas", lambda: True)
+    monkeypatch.setenv("CVX_STRIPE", "1")
+    assert jcodec._use_stripe_path(shape, block, False, 128) == "seg"
+    ref, _ = jcodec.compress(vol, 1e-2, block=block)
+    monkeypatch.setenv("CVX_STRIPE", "patch")
+    assert jcodec._use_stripe_path(shape, block, False, 128) == "patch"
+    got, _ = jcodec.compress(vol, 1e-2, block=block)
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_stripe_seg_local_rms(monkeypatch, rng):
+    """Local-RMS through the seg pack: mulfacs may differ from the
+    block-major path by ~1 ulp (documented reduction-order deviation),
+    so assert self-consistency: the container decodes to within one
+    quantization step of the standard path's decode."""
+    shape, block = (64, 96, 96), (32, 32, 32)
+    _interpret_kernels(monkeypatch)
+    vol = make_sinusoid_volume(*shape, periods=3)
+    ref, _ = jcodec.compress(vol, 1e-2, block=block, use_local_rms=True)
+    monkeypatch.setenv("CVX_STRIPE", "1")
+    monkeypatch.setattr(jcodec, "use_pallas", lambda: True)
+    got, _ = jcodec.compress(vol, 1e-2, block=block, use_local_rms=True)
+    a = jcodec.decompress(ref, engine="host")
+    b = jcodec.decompress(got, engine="host")
+    hdr = ctn.unpack(ref)[0]
+    mfs = ctn.unpack(ref)[2]
+    step = (1.0 / np.abs(mfs[mfs != 0])).max() if mfs is not None else 0.0
+    assert np.abs(a - b).max() <= step + 1e-30
+
+
+def test_stripe_fused_container_parity_sinusoid(monkeypatch):
+    """The fused stripe mega-kernel (x/y/z + scale + tokenize in one
+    pass) emits the same container as the staged seg path on the CI
+    sinusoid (values far from truncation edges; the z-then-y-then-x
+    rounding order differs by ~1 ulp on adversarial data)."""
+    from cvxcompress_tpu.ops import tokenize_pallas as tp
+
+    shape, block = (64, 96, 96), (32, 32, 32)
+    _interpret_kernels(monkeypatch)
+    assert tp.stripe_fused_ok(shape, block)
+    vol = make_sinusoid_volume(*shape, periods=3)
+    monkeypatch.setattr(jcodec, "use_pallas", lambda: True)
+    monkeypatch.setenv("CVX_STRIPE", "1")
+    ref, _ = jcodec.compress(vol, 1e-2, block=block)
+    monkeypatch.setenv("CVX_STRIPE_FUSED", "1")
+    got, _ = jcodec.compress(vol, 1e-2, block=block)
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_stripe_fused_random_quality(monkeypatch, rng):
+    """Fused stripe kernel on random sparse data: decodes as well as the
+    staged stripe path (per-cell decode error is NOT bounded by one
+    quantization step — inverse-wavelet synthesis gain amplifies the
+    coefficient rounding — so compare against the staged path's decode,
+    whose coefficients differ only by the z/y/x rounding order, plus the
+    codec's rel-RMS contract); oracle backend decodes the container."""
+    shape, block = (64, 64, 160), (16, 32, 32)
+    _interpret_kernels(monkeypatch)
+    vol = (rng.standard_normal(shape) * 50).astype(np.float32)
+    vol[rng.random(shape) >= 0.2] = 0.0
+    monkeypatch.setattr(jcodec, "use_pallas", lambda: True)
+    monkeypatch.setenv("CVX_STRIPE", "1")
+    ref, _ = jcodec.compress(vol, 1e-2, block=block)
+    monkeypatch.setenv("CVX_STRIPE_FUSED", "1")
+    data, _ = jcodec.compress(vol, 1e-2, block=block)
+    out = jcodec.decompress(data, engine="host")
+    base = jcodec.decompress(ref, engine="host")
+    hdr = ctn.unpack(data)[0]
+    step = 1.0 / hdr.glob_mulfac
+    # coefficients agree to <=1 quantization step (rounding-order only);
+    # inverse synthesis gain per cell stays within a few steps
+    assert np.abs(out - base).max() <= 4 * step
+    rel = np.sqrt(np.mean((out - vol) ** 2)) / np.sqrt(np.mean(vol**2))
+    rel_base = np.sqrt(np.mean((base - vol) ** 2)) / np.sqrt(np.mean(vol**2))
+    assert rel <= rel_base * 1.05 + 1e-12
+    out2 = ocodec.decompress(data)  # f64 oracle inverse vs host f32
+    assert np.abs(out2 - out).max() <= 1e-4 * np.abs(out).max()
