@@ -397,47 +397,74 @@ def _parse_stages(segs, sub_reset, cells, on_tpu=False):
         return M, e32, c32, vals_s, sv, Bx
     # XLA path (CPU / non-TPU): segmented scan of index-table maps.
     # State (entry t, count v) is PACKED as p = v*32 + t (t < 32,
-    # v <= CAP < 2^22) and table lookups are one vectorized
-    # compare-mask-reduce over a (rows, E, E) bitmask — ~6 fused ops per
-    # step instead of the 50 per-lane where's of the round-2 version
-    # (the chain cost ~2-3 ms of small-kernel launches at the CI config).
+    # v*32 < 2^31 for any legal block size) and table lookups are one
+    # vectorized compare-mask-reduce over a (..., E, E) bitmask.  Both
+    # levels run as LOG-DEPTH Sklansky scans — 4 batched rounds over the
+    # SPS submaps and ~log2(nseg) over segments — instead of the round-2
+    # version's 16 sequential composes + associative_scan (~34 tiny
+    # kernels on the recurrence's critical chain at the CI config).
 
     eye = jnp.arange(E, dtype=jnp.int32)
 
     def lookup(ptab, idx):
-        """out[r, e] = ptab[r, idx[r, e]] via mask-reduce (E is tiny)."""
-        m = idx[:, :, None] == eye[None, None, :]
-        return jnp.sum(jnp.where(m, ptab[:, None, :], 0), axis=-1)
+        """out[..., e] = ptab[..., idx[..., e]] via mask-reduce."""
+        m = idx[..., :, None] == eye
+        return jnp.sum(jnp.where(m, ptab[..., None, :], 0), axis=-1)
+
+    def combine(p1, r1, p2, r2):
+        """Apply map p1 then p2 (reset in p2's span discards p1)."""
+        g = lookup(p2, p1 & 31)
+        p = jnp.minimum((p1 >> 5) + (g >> 5), CAP) * 32 + (g & 31)
+        return jnp.where(r2[..., None], p2, p), r1 | r2
+
+    def sklansky(p, r, axis_len):
+        """Inclusive reset-aware map scan along the second-to-last axis
+        (length a power of two) in log2 batched rounds: each round
+        composes the left half-block's trailing prefix into every right
+        half-block slot."""
+        lead = p.shape[:-2]
+        s = 1
+        while s < axis_len:
+            g2 = 2 * s
+            pv = p.reshape(*lead, axis_len // g2, g2, E)
+            rv = r.reshape(*lead, axis_len // g2, g2)
+            cp, cr = combine(
+                pv[..., s - 1 : s, :], rv[..., s - 1 : s],
+                pv[..., s:, :], rv[..., s:],
+            )
+            p = jnp.concatenate([pv[..., :s, :], cp], axis=-2)
+            p = p.reshape(*lead, axis_len, E)
+            r = jnp.concatenate([rv[..., :s], cr], axis=-1)
+            r = r.reshape(*lead, axis_len)
+            s = g2
+        return p, r
 
     P3 = (NV * 32 + T).reshape(nseg, SPS, E)  # packed submaps
     R2 = sub_reset.reshape(nseg, SPS)
     identP = jnp.broadcast_to(eye[None, :], (nseg, E))  # v=0, t=e
-    # level 1: compose the SPS submaps of each segment sequentially,
-    # honoring block-start resets (carry collapses to the constant
-    # entry-0 state), keeping the exclusive prefixes for level 3
-    curP = identP
-    prefP = []
-    for k in range(SPS):
-        rk = R2[:, k : k + 1]
-        curP = jnp.where(rk, 0, curP)  # reset: t=0, v=0
-        prefP.append(curP)
-        g = lookup(P3[:, k, :], curP & 31)
-        curP = (
-            jnp.minimum((curP >> 5) + (g >> 5), CAP) * 32 + (g & 31)
-        )
+    # level 1: scan the SPS submaps of each segment.  A block-start
+    # reset collapses the incoming state to entry 0 BEFORE its submap
+    # applies, so bake it into the element as the constant f_k(0) map;
+    # the flag-aware combine then discards the left prefix exactly like
+    # the sequential compose did.
+    Pb = jnp.where(R2[:, :, None], P3[:, :, 0:1], P3)
+    inc1, _rin1 = sklansky(Pb, R2, SPS)
+    excl = jnp.concatenate([identP[:, None, :], inc1[:, :-1, :]], axis=1)
+    pref = jnp.where(R2[:, :, None], 0, excl)  # state map BEFORE sub k
+    curP = inc1[:, -1, :]  # per-segment since-last-reset map
 
-    # level 2: segmented associative scan over SEGMENT maps; a segment
-    # with an internal reset contributes its since-last-reset map
+    # level 2: Sklansky over SEGMENT maps (padded to a power of two; the
+    # identity tail never reaches rows < nseg)
     r_seg = R2.any(axis=1)
-
-    def combine(a, b):
-        p1, r1 = a
-        p2, r2 = b
-        g = lookup(p2, p1 & 31)
-        p = jnp.minimum((p1 >> 5) + (g >> 5), CAP) * 32 + (g & 31)
-        return jnp.where(r2[:, None], p2, p), r1 | r2
-
-    pi, _ = jax.lax.associative_scan(combine, (curP, r_seg), axis=0)
+    n2 = 1 << max(0, (int(nseg) - 1).bit_length())
+    padP = jnp.concatenate(
+        [curP, jnp.broadcast_to(eye[None, :], (n2 - nseg, E))], axis=0
+    )
+    padR = jnp.concatenate(
+        [r_seg, jnp.zeros((n2 - nseg,), r_seg.dtype)], axis=0
+    )
+    inc2, _ = sklansky(padP, padR, n2)
+    pi = inc2[:nseg]
     prev_p = jnp.concatenate([identP[:1], pi[:-1]], axis=0)
     eseg = prev_p[:, 0] & 31  # entry state at each segment's first byte
     cseg = prev_p[:, 0] >> 5
@@ -446,7 +473,6 @@ def _parse_stages(segs, sub_reset, cells, on_tpu=False):
     # ONE batched lane-gather; subs past an internal reset use the
     # (entry-independent) post-reset state
     post = jnp.cumsum(R2.astype(jnp.int32), axis=1) > 0
-    pref = jnp.stack(prefP, axis=1)  # (nseg, SPS, E)
     sel = jnp.take_along_axis(
         pref, eseg[:, None, None], axis=2
     )[:, :, 0]  # (nseg, SPS)

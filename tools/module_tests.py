@@ -29,6 +29,14 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# honor an explicit JAX_PLATFORMS=cpu (CI runs): the ambient TPU plugin
+# overrides the env var through this environment's tunnel; jax.config is
+# respected if set before device init (same treatment as bench.py)
+if os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import numpy as np  # noqa: E402
 
 GREEN, RED, DIM, END = "\033[32m", "\033[31m", "\033[2m", "\033[0m"
