@@ -133,27 +133,45 @@ def bench_device_compress(vol, block, scale, rtt, iters=6):
             return chunks, desc, cb, mf, counts, gcfg
 
         out = run(vd[0])
-        acount, lcount = (int(x) for x in np.asarray(out[4]))
-        acap, lcap = rle_device.bucket(acount), rle_device.bucket(lcount)
+        counts_h = np.asarray(out[4])
+        gcfg0 = out[5]
+        acount, lcount = int(counts_h[0]), int(counts_h[1])
+        if gcfg0 and gcfg0.get("seg"):
+            # stripe SEGMENT pack (codec.compress's seg branch)
+            tcount, scount, slcount = (int(x) for x in counts_h[2:5])
+            tcap = -(-max(64, rle_device.bucket(tcount)) // 64) * 64
+            scap = rle_device.bucket(scount)
+            lcap = rle_device.bucket(slcount)
 
-        skip = acount == lcount
+            def full(v):
+                chunks, desc, cb, mf, counts, g = run(v)
+                sub, sidx, sb = rle_device.pack_active_stripe_seg(
+                    chunks.reshape(-1, 128), desc.reshape(-1, 128),
+                    g["cbrow"], g["raw_dev"], tcap, scap, lcap,
+                    g["plane_geom"],
+                )
+                return sub
+        else:
+            acap, lcap = rle_device.bucket(acount), rle_device.bucket(lcount)
+            skip = acount == lcount
 
-        def full(v):
-            chunks, desc, cb, mf, counts, gcfg = run(v)
-            pgeom = gcfg.get("plane_geom") if gcfg else None
-            sub, aidx, ab = rle_device.pack_active(
-                chunks, desc, cb, acap, lcap, skip_squeeze=skip,
-                row_of_chunk=(
-                    None if pgeom
-                    else (gcfg["row_of_chunk"] if gcfg else None)
-                ),
-                desc_row_of_chunk=(
-                    gcfg["desc_row_of_chunk"] if gcfg and not pgeom else None
-                ),
-                nchunks_override=gcfg["nchunks"] if gcfg else None,
-                plane_geom=pgeom,
-            )
-            return sub
+            def full(v):
+                chunks, desc, cb, mf, counts, gcfg = run(v)
+                pgeom = gcfg.get("plane_geom") if gcfg else None
+                sub, aidx, ab = rle_device.pack_active(
+                    chunks, desc, cb, acap, lcap, skip_squeeze=skip,
+                    row_of_chunk=(
+                        None if pgeom
+                        else (gcfg["row_of_chunk"] if gcfg else None)
+                    ),
+                    desc_row_of_chunk=(
+                        gcfg["desc_row_of_chunk"] if gcfg and not pgeom
+                        else None
+                    ),
+                    nchunks_override=gcfg["nchunks"] if gcfg else None,
+                    plane_geom=pgeom,
+                )
+                return sub
 
     fetch1(full(vd[0]))  # compile
     best = float("inf")

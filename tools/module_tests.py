@@ -51,24 +51,24 @@ def check(name, ok, detail=""):
 
 
 def block_sweep(exhaustive):
+    """--exhaustive: EVERY (bx, by, bz) in {8..256 pow2}^3 — the full 216
+    combos the reference sweeps (CvxCompress.cpp:695-785, bounds
+    CvxCompress.hxx:126-131) — plus the bz=1 2D row.  Default: a sampled
+    subset capped at 2^21 cells for CI runtime, plus 256-bearing extras
+    exercising the deepest (8-level) operator cascade on each axis."""
     sizes = [8, 16, 32, 64, 128, 256] if exhaustive else [8, 32, 128]
     for bz in [1] + sizes:
         for by in sizes:
             for bx in sizes:
-                if bx * by * bz > (1 << 21):  # keep runtime sane
+                if not exhaustive and bx * by * bz > (1 << 21):
                     continue
                 yield bx, by, bz
-    # 256-bearing samples above the cell cap: the reference sweeps every
-    # combo incl. 256 (CvxCompress.cpp:695-785); covering each axis at its
-    # maximum extent exercises the deepest (8-level) operator cascade
-    extra = [
-        (256, 32, 8), (8, 32, 256), (32, 256, 8), (256, 256, 8),
-        (256, 8, 256),
-    ]
-    if exhaustive:
-        extra += [(256, 256, 32), (128, 256, 64), (256, 256, 256)]
-    for b in extra:
-        yield b
+    if not exhaustive:
+        for b in [
+            (256, 32, 8), (8, 32, 256), (32, 256, 8), (256, 256, 8),
+            (256, 8, 256),
+        ]:
+            yield b
 
 
 def stage_2_3_transforms(exhaustive):
