@@ -236,14 +236,16 @@ def _use_stripe_path(vol_shape, block, use_local, chunk):
     unit is the per-(row, block-column) segment, so nothing is ever
     recomposed to chunk-major.  CVX_STRIPE=0 disables; CVX_STRIPE=patch
     keeps the older patch-gather pack for A/B comparison.
+
+    DEFAULT PATH since the round-3 on-chip A/B: seg measured 14.8 ms vs
+    block-major's 20.4 at the CI config (3,163 vs 2,297 MC/s, v5e),
+    containers byte-identical.
     """
     import os
 
     from . import tokenize_pallas as tp
 
-    # default pending the on-chip A/B (flip to "1" once the seg pack is
-    # measured faster than block-major at the CI config)
-    mode = os.environ.get("CVX_STRIPE", "0")
+    mode = os.environ.get("CVX_STRIPE", "seg")
     if mode not in ("1", "seg", "patch"):
         return ""
     if not (
@@ -292,14 +294,18 @@ def _use_volume_path(vol_shape, block, use_local, chunk):
 
 
 def _use_fused_w(vol_shape, block, use_local, chunk):
-    """Fused x/z + y/scale/tokenize kernels for (128,128,128) blocks —
-    opt-in (CVX_FUSED_W=1) pending the on-chip A/B vs the staged path."""
+    """Fused x/z + y/scale/tokenize kernels for (128,128,128) blocks.
+
+    DEFAULT since the round-3 on-chip A/B: 8.6 ms vs the staged path's
+    10.6 at 384^3 (6,569 vs 5,359 MC/s, v5e).  CVX_FUSED_W=0 restores
+    the staged einsum pipeline (byte-exact vs oracle; the fused x,z-
+    before-y rounding stays inside the 1e-5 transform contract)."""
     import os
 
     from . import fused_compress as fc
 
     return (
-        os.environ.get("CVX_FUSED_W") == "1"
+        os.environ.get("CVX_FUSED_W", "1") == "1"
         and use_pallas()
         and not use_local  # local RMS needs whole-block reductions
         and chunk == 128

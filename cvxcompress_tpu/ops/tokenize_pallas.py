@@ -827,6 +827,12 @@ def stripe_fused_tiles(vpad, glob_mulfac, vol_shape3, block,
             pltpu.VMEM((TRS, W), jnp.float32),
             pltpu.VMEM((TRS, W), jnp.float32),
         ],
+        # the whole-block-row tile plus _tile_desc_stripe's temporaries
+        # exceed the 16M default scoped-vmem budget at W>=384 (measured
+        # 26.2M at the CI config); v5e has 128M physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(v4, opz, opy, opxt, jnp.asarray(ex), jnp.asarray(sp), mf)
     return (
