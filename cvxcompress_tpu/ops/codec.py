@@ -330,8 +330,14 @@ def _encode_device(vol_dev, glob_mulfac, scale, use_local, block, chunk):
     if stripe_mode:
         import os as _os
 
+        # DEFAULT since the round-3 on-chip A/B: 11.1 ms vs the staged
+        # stripe's 14.8 at the CI config (byte-level containers differ
+        # from the staged path within the 1e-5 transform contract — the
+        # fused kernel's z,y-before-x rounding order).  CVX_STRIPE_FUSED=0
+        # restores the staged stripe stages.
         if (
-            _os.environ.get("CVX_STRIPE_FUSED") == "1"
+            _os.environ.get("CVX_STRIPE_FUSED", "1") == "1"
+            and stripe_mode == "seg"  # CVX_STRIPE=patch pins the staged A/B path
             and not use_local
             and tp.stripe_fused_ok(shape, block)
         ):

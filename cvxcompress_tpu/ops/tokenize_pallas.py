@@ -71,6 +71,19 @@ def _shl_lanes(x, s, lane, fill):
     return jnp.where(lane >= s, pltpu.roll(x, s, 1), fill)
 
 
+import os as _os
+
+# One-hot MXU group ops in the tokenize bodies — DEFAULT since the
+# round-3 on-chip A/B (384^3 fused compress 6.7 ms vs 8.6 with the
+# roll-chain formulation); CVX_TD_MXU=0 restores the rolls.
+_TD_MXU = _os.environ.get("CVX_TD_MXU", "1") == "1"
+
+# Hierarchical zero-run lane scan (3 within-8 rolls + one-hot MXU
+# extract -> narrow 16-group scan -> spread) replacing the 7-step
+# full-width cummax; opt-in pending the on-chip A/B.
+_TD_HIER = _os.environ.get("CVX_TD_HIER", "0") == "1"
+
+
 def _tile_desc(fv, nxt_vals, carry_in, i, ncpb):
     """Shared tile computation: (desc, cost, carry_out) for one tile."""
 
@@ -98,9 +111,24 @@ def _tile_desc(fv, nxt_vals, carry_in, i, ncpb):
     )
     rows = jax.lax.broadcasted_iota(I32, (TR, LANES), 0)
     lane = jax.lax.broadcasted_iota(I32, (TR, LANES), 1)
-    y = code
-    for s in (1, 2, 4):
-        y = y + _shr_lanes(y, s, lane, I32(0))  # sum code[:, l..l+7]
+    if _TD_MXU:
+        # group-of-8 sums + group broadcast as ONE one-hot MXU dot: G8 is
+        # the (128, 128) same-group indicator, so code @ G8 lands every
+        # group's field sums on EVERY lane of the group (packed values
+        # <= 0x8888 are exact in f32 at precision=HIGHEST), replacing
+        # the 3-step shr-sum chain AND the 3-step mode shl-broadcast.
+        li = jax.lax.broadcasted_iota(I32, (LANES, LANES), 0)
+        lj = jax.lax.broadcasted_iota(I32, (LANES, LANES), 1)
+        g8 = ((li // 8) == (lj // 8)).astype(jnp.float32)
+        y = jnp.dot(
+            code.astype(jnp.float32), g8,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(I32)
+    else:
+        y = code
+        for s in (1, 2, 4):
+            y = y + _shr_lanes(y, s, lane, I32(0))  # sum code[:, l..l+7]
     nzero = y & 15
     nb = (y >> 4) & 15
     ns = (y >> 8) & 15
@@ -113,17 +141,55 @@ def _tile_desc(fv, nxt_vals, carry_in, i, ncpb):
         & (nb + (ns - nb) * 3 + (8 - ns) * 4 > 25)
     )
     mode = jnp.where(allbyte, 1, jnp.where(allshort, 2, jnp.where(alli3, 3, 0)))
-    # valid only at lane 0 of each group: mask and OR-propagate across it
-    mode = jnp.where(lane % 8 == 0, mode, 0)
-    for s in (1, 2, 4):
-        mode = mode | _shl_lanes(mode, s, lane, I32(0))
+    if not _TD_MXU:
+        # group sums valid only at lane 0 of each group: mask and
+        # OR-propagate across it
+        mode = jnp.where(lane % 8 == 0, mode, 0)
+        for s in (1, 2, 4):
+            mode = mode | _shl_lanes(mode, s, lane, I32(0))
 
     # --- zero-run structure
     gidx = (i * TR + rows) * LANES + lane  # global cell index
     member = izero
 
-    lnm = jnp.where(member, I32(-1), gidx)
-    lnm = _cumscan_max(lnm, 1, lane, I32(-1))  # within row (lane order)
+    if _TD_HIER:
+        # lane-LOCAL last-nonmember scan (values in [-1, 127], exact in
+        # f32): 3 within-8 roll steps, then the 16 group maxima cross-
+        # scan on a narrow (TR, 16) column via one-hot extract/spread
+        # MXU dots — 4 full-width ops fewer than the flat 7-step cummax.
+        ls = jnp.where(member, I32(-1), lane)
+        l8s = lane % 8
+        for s in (1, 2, 4):
+            ls = jnp.maximum(
+                ls, jnp.where(l8s >= s, pltpu.roll(ls, s, 1), I32(-1))
+            )
+        ei = jax.lax.broadcasted_iota(I32, (LANES, 16), 0)
+        ej = jax.lax.broadcasted_iota(I32, (LANES, 16), 1)
+        exm = (ei == ej * 8 + 7).astype(jnp.float32)  # group-last picker
+        gmax = jnp.dot(
+            ls.astype(jnp.float32), exm,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (TR, 16)
+        gi16 = jax.lax.broadcasted_iota(I32, (TR, 16), 1)
+        gsc = _cumscan_max(gmax, 1, gi16, jnp.float32(-1.0))
+        gprev = jnp.where(
+            gi16 == 0, jnp.float32(-1.0), pltpu.roll(gsc, 1, 1)
+        )
+        si = jax.lax.broadcasted_iota(I32, (16, LANES), 0)
+        sj = jax.lax.broadcasted_iota(I32, (16, LANES), 1)
+        spm = (si == sj // 8).astype(jnp.float32)
+        prev_l = jnp.dot(
+            gprev, spm, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(I32)
+        ls = jnp.maximum(ls, prev_l)
+        lnm = jnp.where(
+            ls >= 0, (i * TR + rows) * LANES + ls, I32(-1)
+        )
+    else:
+        lnm = jnp.where(member, I32(-1), gidx)
+        lnm = _cumscan_max(lnm, 1, lane, I32(-1))  # within row (lane order)
     rowmax = jnp.max(lnm, axis=1, keepdims=True)  # (TR, 1)
     rows1 = jax.lax.broadcasted_iota(I32, (TR, 1), 0)
     rowcarry = _cumscan_max(rowmax, 0, rows1, I32(-1))  # narrow row scan
@@ -482,6 +548,10 @@ def _tile_desc_stripe(fv, nxt_row, carry_in, zt, byi, geom, ex, sp):
         + (is_short.astype(I32) << 8)
         + (is_i3.astype(I32) << 12)
     )
+    # NOTE: the one-hot G8 dot that wins in _tile_desc (W == 128) LOSES
+    # here — at stripe width W >= 384 the (W, W) dot is ~9x the FLOPs
+    # and measured 12.3 ms vs 11.1 for the whole CI-config compress;
+    # the 3-step masked roll chain stays.
     y = code
     for s in (1, 2, 4):
         y = y + jnp.where(l8 < 8 - s, pltpu.roll(y, W - s, 1), 0)

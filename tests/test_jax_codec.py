@@ -311,6 +311,7 @@ def test_stripe_compress_path_container_parity(monkeypatch):
     ref, _ = jcodec.compress(vol, 1e-2, block=block)  # standard CPU path
 
     monkeypatch.setenv("CVX_STRIPE", "1")
+    monkeypatch.setenv("CVX_STRIPE_FUSED", "0")  # pin the staged path
     monkeypatch.setattr(jcodec, "use_pallas", lambda: True)
     assert jcodec._use_stripe_path(shape, block, False, 128)
     got, _ = jcodec.compress(vol, 1e-2, block=block)
@@ -464,6 +465,7 @@ def test_stripe_seg_container_parity_random(monkeypatch, rng, shape, block,
     ref, _ = jcodec.compress(vol, 1e-2, block=block)  # standard CPU path
 
     monkeypatch.setenv("CVX_STRIPE", "1")
+    monkeypatch.setenv("CVX_STRIPE_FUSED", "0")  # pin the staged path
     monkeypatch.setattr(jcodec, "use_pallas", lambda: True)
     assert jcodec._use_stripe_path(shape, block, False, 128) == "seg"
     got, _ = jcodec.compress(vol, 1e-2, block=block)
@@ -486,6 +488,7 @@ def test_stripe_patch_mode_still_matches(monkeypatch, rng):
     vol[rng.random(shape) >= 0.2] = 0.0
     monkeypatch.setattr(jcodec, "use_pallas", lambda: True)
     monkeypatch.setenv("CVX_STRIPE", "1")
+    monkeypatch.setenv("CVX_STRIPE_FUSED", "0")  # pin the staged path
     assert jcodec._use_stripe_path(shape, block, False, 128) == "seg"
     ref, _ = jcodec.compress(vol, 1e-2, block=block)
     monkeypatch.setenv("CVX_STRIPE", "patch")
@@ -504,6 +507,7 @@ def test_stripe_seg_local_rms(monkeypatch, rng):
     vol = make_sinusoid_volume(*shape, periods=3)
     ref, _ = jcodec.compress(vol, 1e-2, block=block, use_local_rms=True)
     monkeypatch.setenv("CVX_STRIPE", "1")
+    monkeypatch.setenv("CVX_STRIPE_FUSED", "0")  # pin the staged path
     monkeypatch.setattr(jcodec, "use_pallas", lambda: True)
     got, _ = jcodec.compress(vol, 1e-2, block=block, use_local_rms=True)
     a = jcodec.decompress(ref, engine="host")
@@ -527,6 +531,7 @@ def test_stripe_fused_container_parity_sinusoid(monkeypatch):
     vol = make_sinusoid_volume(*shape, periods=3)
     monkeypatch.setattr(jcodec, "use_pallas", lambda: True)
     monkeypatch.setenv("CVX_STRIPE", "1")
+    monkeypatch.setenv("CVX_STRIPE_FUSED", "0")  # pin the staged path
     ref, _ = jcodec.compress(vol, 1e-2, block=block)
     monkeypatch.setenv("CVX_STRIPE_FUSED", "1")
     got, _ = jcodec.compress(vol, 1e-2, block=block)
@@ -546,6 +551,7 @@ def test_stripe_fused_random_quality(monkeypatch, rng):
     vol[rng.random(shape) >= 0.2] = 0.0
     monkeypatch.setattr(jcodec, "use_pallas", lambda: True)
     monkeypatch.setenv("CVX_STRIPE", "1")
+    monkeypatch.setenv("CVX_STRIPE_FUSED", "0")  # pin the staged path
     ref, _ = jcodec.compress(vol, 1e-2, block=block)
     monkeypatch.setenv("CVX_STRIPE_FUSED", "1")
     data, _ = jcodec.compress(vol, 1e-2, block=block)
