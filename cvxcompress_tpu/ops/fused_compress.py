@@ -56,15 +56,14 @@ def fused_path_ok(vol_shape3, block):
     )
 
 
-def _kernel_xz(v_ref, opz_ref, opxt_ref, out_ref):
+def _kernel_xz(v_ref, opz_ref, opxt_ref, out_ref, *, split):
     """(bz, YG, bx) slab: z cascade then x cascade, per y-slice."""
-    hi = jax.lax.Precision.HIGHEST
     opz = opz_ref[:]
     opxt = opxt_ref[:]
     for y in range(YG):
         t = v_ref[:, y, :]  # (bz, bx)
-        t = jnp.dot(opz, t, preferred_element_type=F32, precision=hi)
-        t = jnp.dot(t, opxt, preferred_element_type=F32, precision=hi)
+        t = tp.mxu_dot3(opz, t, split)
+        t = tp.mxu_dot3(t, opxt, split)
         out_ref[:, y, :] = t
 
 
@@ -75,8 +74,13 @@ def forward_xz(vol, vol_shape3, interpret=False):
     opz = wavelet._f32(wavelet.forward_matrix(B))
     opxt = wavelet._f32(wavelet.forward_matrix(B).T)
     grid = (nz // B, ny // YG, nx // B)
+    # split3 measured a slight LOSS for full 128-wide dots (384^3
+    # compress 7.1 ms vs 6.7 at HIGHEST — the bf16 split casts cost
+    # more than the saved MXU passes at K=N=128); the stripe kernel's
+    # W>=384 x-dot is where split3 wins (PERF_NOTES round 3)
+    split = False
     return pl.pallas_call(
-        _kernel_xz,
+        functools.partial(_kernel_xz, split=split),
         grid=grid,
         in_specs=[
             pl.BlockSpec((B, YG, B), lambda zi, yi, xi: (zi, yi, xi),
@@ -94,7 +98,7 @@ def forward_xz(vol, vol_shape3, interpret=False):
 
 
 def _kernel_ytok(v_ref, win_ref, opy_ref, mf_ref, fv_ref, desc_ref,
-                 carry_ref, scratch, *, ncpb):
+                 carry_ref, scratch, *, ncpb, split):
     """(ZG, by, bx) chunk-order slab: y cascade + scale + tokenize.
 
     Grid order is chunk-major (tiles per block follow the z cascade of
@@ -104,7 +108,6 @@ def _kernel_ytok(v_ref, win_ref, opy_ref, mf_ref, fv_ref, desc_ref,
     hand _tile_desc an (8, 128) array whose [0, 0] holds it.
     """
     i = pl.program_id(0)
-    hi = jax.lax.Precision.HIGHEST
 
     @pl.when(i == 0)
     def _init():
@@ -114,7 +117,7 @@ def _kernel_ytok(v_ref, win_ref, opy_ref, mf_ref, fv_ref, desc_ref,
     mf = mf_ref[:]  # (1, 1) broadcasts over every slice
     for z in range(ZG):
         t = v_ref[z, :, :]  # (by, bx)
-        t = jnp.dot(opy, t, preferred_element_type=F32, precision=hi)
+        t = tp.mxu_dot3(opy, t, split)
         scratch[z * B : (z + 1) * B, :] = t * mf
 
     fv = scratch[:]
@@ -123,7 +126,7 @@ def _kernel_ytok(v_ref, win_ref, opy_ref, mf_ref, fv_ref, desc_ref,
     # sliced dot could round differently and desynchronize run_end from
     # the next tile's actual membership)
     wv = win_ref[0, :, :]  # (by, bx) first z-layer of the NEXT tile
-    w2 = jnp.dot(opy, wv, preferred_element_type=F32, precision=hi) * mf
+    w2 = tp.mxu_dot3(opy, wv, split) * mf
     rb = jax.lax.broadcasted_iota(I32, (B, B), 0)
     lb = jax.lax.broadcasted_iota(I32, (B, B), 1)
     nxt0 = jnp.sum(jnp.where((rb == 0) & (lb == 0), w2, 0.0))
@@ -171,8 +174,9 @@ def tokenize_fused_y(plane, mulfac, vol_shape3, interpret=False):
         bxi = b % nbx
         return (bzi * B + w * ZG, byi, bxi)
 
+    split = False  # see forward_xz: HIGHEST wins for 128-wide dots
     fv, desc = pl.pallas_call(
-        functools.partial(_kernel_ytok, ncpb=cpb),
+        functools.partial(_kernel_ytok, ncpb=cpb, split=split),
         grid=(ntiles,),
         in_specs=[
             pl.BlockSpec((ZG, B, B), in_map, memory_space=pltpu.VMEM),

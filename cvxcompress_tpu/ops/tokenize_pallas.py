@@ -84,6 +84,34 @@ _TD_MXU = _os.environ.get("CVX_TD_MXU", "1") == "1"
 _TD_HIER = _os.environ.get("CVX_TD_HIER", "0") == "1"
 
 
+def mxu_dot3(a, b, split):
+    """Float matmul inside a Pallas kernel at ~Precision.HIGH cost.
+
+    Mosaic lowers only DEFAULT (one bf16 pass — too lossy for the
+    transform contract) and HIGHEST (six passes).  With `split` True
+    this emulates XLA's HIGH (bf16_3x) manually: split each operand
+    into bf16 hi+lo and sum the three significant cross products —
+    three MXU passes, ~2^-16 relative accuracy, exact for integers
+    below 2^16.  `split` must be False under interpret mode (CPU
+    executes the bf16 casts for real, breaking byte-parity fixtures
+    that expect full-f32 staged results) and for int payloads >= 2^16.
+    """
+    if not split:
+        return jnp.dot(
+            a, b, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (
+        jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
+        + jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
+        + jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32)
+    )
+
+
 def _tile_desc(fv, nxt_vals, carry_in, i, ncpb):
     """Shared tile computation: (desc, cost, carry_out) for one tile."""
 
@@ -790,29 +818,22 @@ def stripe_fused_ok(vol_shape3, block):
 
 
 def _kernel_stripe_fused(v_ref, opz_ref, opy_ref, opxt_ref, ex_ref, sp_ref,
-                         mf_ref, fv_ref, desc_ref, cb_ref, sA, sB, *, geom):
+                         mf_ref, fv_ref, desc_ref, cb_ref, sA, sB, *, geom,
+                         split):
     byi = pl.program_id(0)
     zt = pl.program_id(1)  # == bzi (one tile per block row)
     bx, by, zg, bz, nbx2, nby, cells = geom
     W = nbx2 * bx
-    hi = jax.lax.Precision.HIGHEST
 
     a4 = v_ref[:, 0, :, :]  # (bz, by, W) raw padded volume slab
     opz = opz_ref[:]
     opy = opy_ref[:]
     for y in range(by):
-        sA[y * bz : (y + 1) * bz, :] = jnp.dot(
-            opz, a4[:, y, :], preferred_element_type=jnp.float32,
-            precision=hi,
-        )
+        sA[y * bz : (y + 1) * bz, :] = mxu_dot3(opz, a4[:, y, :], split)
     vA = sA[:].reshape(by, bz, W)
     for z in range(bz):
-        sB[z * by : (z + 1) * by, :] = jnp.dot(
-            opy, vA[:, z, :], preferred_element_type=jnp.float32,
-            precision=hi,
-        )
-    xw = jnp.dot(sB[:], opxt_ref[:], preferred_element_type=jnp.float32,
-                 precision=hi)
+        sB[z * by : (z + 1) * by, :] = mxu_dot3(opy, vA[:, z, :], split)
+    xw = mxu_dot3(sB[:], opxt_ref[:], split)
     fv = xw * mf_ref[:]  # (1, 1) or (1, W) broadcast (global / local mf)
 
     carry0 = jnp.full((1, ex_ref.shape[1]), -1.0, jnp.float32)
@@ -865,8 +886,13 @@ def stripe_fused_tiles(vpad, glob_mulfac, vol_shape3, block,
     def in_map(byi, zt):
         return (zt, byi, 0, 0)
 
+    from . import wavelet as _wav
+
+    split = (
+        _wav.FLOAT_PREC is jax.lax.Precision.HIGH and not interpret
+    )
     fv, desc, cbrow = pl.pallas_call(
-        functools.partial(_kernel_stripe_fused, geom=geom),
+        functools.partial(_kernel_stripe_fused, geom=geom, split=split),
         grid=(nby, nbz),
         in_specs=[
             pl.BlockSpec((bz, 1, by, W), in_map, memory_space=pltpu.VMEM),

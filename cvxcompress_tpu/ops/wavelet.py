@@ -26,6 +26,23 @@ import numpy as np
 
 from ..oracle import wavelet as ow
 
+import os as _os
+
+# Precision of the FLOAT wavelet contractions in XLA einsums (the int
+# one-hot dots elsewhere must stay HIGHEST: HIGH is exact only below
+# 2^16 on v5e, and Mosaic has no HIGH lowering so Pallas kernels pin
+# HIGHEST regardless).  "high" (3-pass bf16, ~2^-17 relative) is the
+# DEFAULT since the round-3 on-chip A/B: config-A device decompress
+# 6.7 ms vs 7.9 at "highest", CI quality bars unchanged (err 1.58e-4 /
+# 76.0 dB vs 1.57e-4 / 76.1) — the reference itself holds its slow and
+# fast paths to a 1e-5 bar (CvxCompress.cpp:597).
+# CVX_WAVELET_PREC=highest restores full-f32 contractions.
+FLOAT_PREC = (
+    jax.lax.Precision.HIGHEST
+    if _os.environ.get("CVX_WAVELET_PREC", "high") == "highest"
+    else jax.lax.Precision.HIGH
+)
+
 
 def _level_matrix_forward(n):
     """Single-level n x n analysis operator (float64).
@@ -124,7 +141,7 @@ def forward_3d(blocks):
     MXU with float32 accumulation.
     """
     bz, by, bx = blocks.shape[-3:]
-    hi = jax.lax.Precision.HIGHEST
+    hi = FLOAT_PREC
     out = blocks
     if bx > 1:
         out = jnp.einsum("...zyx,Xx->...zyX", out, _f32(forward_matrix(bx)),
@@ -141,7 +158,7 @@ def forward_3d(blocks):
 def inverse_3d(blocks):
     """Inverse transform of a (..., bz, by, bx) coefficient batch."""
     bz, by, bx = blocks.shape[-3:]
-    hi = jax.lax.Precision.HIGHEST
+    hi = FLOAT_PREC
     out = blocks
     if bx > 1:
         out = jnp.einsum("...zyx,Xx->...zyX", out, _f32(inverse_matrix(bx)),
@@ -167,7 +184,7 @@ def forward_3d_blocked(vol, vol_shape3, block):
     nz, ny, nx = vol_shape3
     bx, by, bz = block
     nbz, nby, nbx = -(-nz // bz), -(-ny // by), -(-nx // bx)
-    hi = jax.lax.Precision.HIGHEST
+    hi = FLOAT_PREC
     pz, py, px = nbz * bz - nz, nby * by - ny, nbx * bx - nx
     a = jnp.pad(vol, ((0, pz), (0, py), (0, px)))
     if bx > 1:
@@ -219,7 +236,7 @@ def apply_x_rows(rows, bx, inverse=True):
     r2 = rows.reshape(-1, w)
     out = jnp.einsum(
         "rc,Cc->rC", r2, jnp.asarray(_blockdiag(bx, w, inverse)),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=FLOAT_PREC,
         preferred_element_type=jnp.float32,
     )
     return out.reshape(rows.shape)
@@ -245,7 +262,7 @@ def forward_3d_volume(vol, vol_shape3, block, pad_x_blocks=False):
     if pad_x_blocks:
         nbx = padded_nbx(nbx, bx)
     nzp, nyp, nxp = nbz * bz, nby * by, nbx * bx
-    hi = jax.lax.Precision.HIGHEST
+    hi = FLOAT_PREC
     a = jnp.pad(vol, ((0, nzp - nz), (0, nyp - ny), (0, nxp - nx)))
     a = a.reshape(nzp * nyp, nxp)
     a = apply_x_rows(a, bx, inverse=False)
@@ -286,7 +303,7 @@ def inverse_3d_volume(rows, vol_shape3, block):
     nbz, nby = -(-nz // bz), -(-ny // by)
     nzp, nyp = nbz * bz, nby * by
     nxp2 = rows.shape[-1]
-    hi = jax.lax.Precision.HIGHEST
+    hi = FLOAT_PREC
     a = rows
     if by > 1:
         a = a.reshape(nzp, nby, by, nxp2)

@@ -115,3 +115,31 @@ def test_fused_matches_staged_on_lattice(monkeypatch, rng):
     hdr = ctn.unpack(ref)[0]
     step = 1.0 / hdr.glob_mulfac
     assert np.abs(a - b).max() <= step + 1e-30
+
+
+def test_mxu_dot3_split_accuracy():
+    """The manual bf16 hi+lo 3-pass dot (Pallas' stand-in for XLA's
+    Precision.HIGH) is ~2^-16-accurate on floats and EXACT for integers
+    below 2^16 (the contract the tokenize one-hot dots rely on)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from cvxcompress_tpu.ops import tokenize_pallas as tp
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=(96, 64)).astype(np.float32) * 1e3
+    b = rng.normal(size=(64, 80)).astype(np.float32)
+    want = a.astype(np.float64) @ b.astype(np.float64)
+    got = np.asarray(tp.mxu_dot3(jnp.asarray(a), jnp.asarray(b), True))
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 2e-4, rel
+
+    iv = rng.integers(-(2**15), 2**15, size=(64, 128)).astype(np.float32)
+    perm = rng.permutation(128)
+    onehot = np.zeros((128, 128), np.float32)
+    onehot[perm, np.arange(128)] = 1.0
+    got_i = np.asarray(
+        tp.mxu_dot3(jnp.asarray(iv), jnp.asarray(onehot), True)
+    )
+    assert np.array_equal(got_i, iv @ onehot)

@@ -242,6 +242,7 @@ def test_volume_compress_path_container_parity(monkeypatch, rng):
     ref, _ = jcodec.compress(vol, 1e-2, block=block)  # standard CPU path
 
     monkeypatch.setattr(jcodec, "use_pallas", lambda: True)
+    monkeypatch.setenv("CVX_FUSED_W", "0")  # pin the VOLUME path under test
     monkeypatch.setenv("CVX_VOLUME_COMPRESS", "1")
     assert jcodec._use_volume_path(shape, block, False, 128)
     got, _ = jcodec.compress(vol, 1e-2, block=block)
@@ -426,6 +427,8 @@ def test_noncontiguous_and_f64_inputs():
 def _interpret_kernels(monkeypatch):
     import jax.experimental.pallas as pl
 
+    from cvxcompress_tpu.ops import tokenize_pallas as _tp
+
     orig = pl.pallas_call
 
     def patched(*a, **k):
@@ -433,6 +436,13 @@ def _interpret_kernels(monkeypatch):
         return orig(*a, **k)
 
     monkeypatch.setattr(pl, "pallas_call", patched)
+    # builders see interpret=False (the patch flips it inside
+    # pallas_call), so their split3 gating would wrongly engage the
+    # bf16-split dots on CPU — pin full-f32 dots for parity fixtures
+    orig_dot3 = _tp.mxu_dot3
+    monkeypatch.setattr(
+        _tp, "mxu_dot3", lambda a, b, split: orig_dot3(a, b, False)
+    )
 
 
 @pytest.mark.parametrize(
