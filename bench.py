@@ -144,14 +144,13 @@ def bench_device_compress(vol, block, scale, rtt, iters=6):
             # stripe SEGMENT pack (codec.compress's seg branch)
             tcount, scount, slcount = (int(x) for x in counts_h[2:5])
             tcap = -(-max(64, rle_device.bucket(tcount)) // 64) * 64
-            scap = rle_device.bucket(scount)
             lcap = rle_device.bucket(slcount)
 
             def full(v):
                 chunks, desc, cb, mf, counts, g = run(v)
-                sub, sidx, sb = rle_device.pack_active_stripe_seg(
+                sub, lsid, lsb = rle_device.pack_active_stripe_seg(
                     chunks.reshape(-1, 128), desc.reshape(-1, 128),
-                    g["cbrow"], g["raw_dev"], tcap, scap, lcap,
+                    g["cbrow"], g["raw_dev"], tcap, lcap,
                     g["plane_geom"],
                 )
                 return sub

@@ -294,23 +294,32 @@ def _use_volume_path(vol_shape, block, use_local, chunk):
 
 
 def _use_fused_w(vol_shape, block, use_local, chunk):
-    """Fused x/z + y/scale/tokenize kernels for (128,128,128) blocks.
+    """Fused kernels for (128,128,128) blocks: "" off, "1" two-kernel
+    (x/z + y/scale/tokenize), "block" whole-block single kernel.
 
-    DEFAULT since the round-3 on-chip A/B: 8.6 ms vs the staged path's
-    10.6 at 384^3 (6,569 vs 5,359 MC/s, v5e).  CVX_FUSED_W=0 restores
-    the staged einsum pipeline (byte-exact vs oracle; the fused x,z-
-    before-y rounding stays inside the 1e-5 transform contract)."""
+    "block" is DEFAULT since the round-3 on-chip A/B: the whole-block
+    kernel measured 6.0-6.8 ms at 384^3 vs the two-kernel path's 9.0 in
+    the same session (the K1<->K2 HBM round trip is gone); "1" had
+    earlier displaced the staged einsums (8.6 vs 10.6 ms, then 6.7 with
+    the MXU group ops).  CVX_FUSED_W=0 restores the staged pipeline
+    (byte-exact vs oracle; the fused x,z-before-y rounding stays inside
+    the 1e-5 transform contract); "block" and "1" emit byte-identical
+    containers (same dots, same order)."""
     import os
 
     from . import fused_compress as fc
 
-    return (
-        os.environ.get("CVX_FUSED_W", "1") == "1"
-        and use_pallas()
+    mode = os.environ.get("CVX_FUSED_W", "block")
+    if mode not in ("1", "block"):
+        return ""
+    if not (
+        use_pallas()
         and not use_local  # local RMS needs whole-block reductions
         and chunk == 128
         and fc.fused_path_ok(vol_shape, block)
-    )
+    ):
+        return ""
+    return mode
 
 
 def _encode_device(vol_dev, glob_mulfac, scale, use_local, block, chunk):
@@ -370,10 +379,15 @@ def _encode_device(vol_dev, glob_mulfac, scale, use_local, block, chunk):
             "raw_dev": raw,
         }
         return fvv, desc, cb, sizes, raw, counts, mf, gcfg
-    if _use_fused_w(shape, block, use_local, chunk):
+    fw_mode = _use_fused_w(shape, block, use_local, chunk)
+    if fw_mode:
         from . import fused_compress as fc
 
-        fv, desc, cb, sizes, raw, counts = fc.tokenize_desc_fused(
+        producer = (
+            fc.tokenize_desc_block if fw_mode == "block"
+            else fc.tokenize_desc_fused
+        )
+        fv, desc, cb, sizes, raw, counts = producer(
             vol_dev, jnp.float32(glob_mulfac), shape, block,
         )
         n = sizes.shape[0]
@@ -522,16 +536,15 @@ def compress(vol, scale, block=(32, 32, 32), use_local_rms=False,
             # pack_active_stripe_seg) — counts[2:5] size the buckets
             tcount, scount, slcount = (int(v) for v in counts_h[2:5])
             tcap = -(-max(64, rle_device.bucket(tcount)) // 64) * 64
-            scap = rle_device.bucket(scount)
             lcap = rle_device.bucket(slcount)
             shape3, blk3 = gcfg["plane_geom"]
             fv3 = coeff_chunks.reshape(-1, 128)
             d3 = desc.reshape(-1, 128)
             subrows, aidx, abytes = rle_device.pack_active_stripe_seg(
                 fv3, d3, gcfg["cbrow"], gcfg["raw_dev"],
-                tcap, scap, lcap, (shape3, blk3),
+                tcap, lcap, (shape3, blk3),
             )
-            acount = scount  # assembly consumes per-SEGMENT metadata
+            acount = slcount  # assembly consumes per-SUBROW metadata
         else:
             acap = rle_device.bucket(acount)
             lcap = rle_device.bucket(lcount)

@@ -241,3 +241,137 @@ def tokenize_desc_fused(vol, glob_mulfac, vol_shape3, block,
 # stored raw coefficients need only be valid block coefficients — every
 # transform variant here is inside the 1e-5 oracle contract, and raw
 # payload size is the fixed 4*cells regardless).
+
+
+# ---------------------------------------------------------------------------
+# Whole-block single-kernel variant (CVX_FUSED_W=block): the ENTIRE
+# (128, 128, 128) block — z, x, and y cascades plus scale and tokenize —
+# in one VMEM residency.  Removes K1<->K2's full-volume HBM round trip
+# (write + read of the xz plane, ~450 MB at 384^3) and the separate
+# lookahead window stream.  VMEM: 8 MB block in, 8 MB scratch, 8 MB fv +
+# 8 MB desc out, double-buffered by Pallas => needs the raised
+# vmem_limit_bytes.  Rounding order matches the two-kernel path
+# (z, x, then y — identical operator dots), so containers are
+# byte-identical to CVX_FUSED_W=1.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_block(v_ref, opz_ref, opxt_ref, opy_ref, mf_ref, fv_ref,
+                  desc_ref, sA, *, split):
+    opz = opz_ref[:]
+    opxt = opxt_ref[:]
+    opy = opy_ref[:]
+    mf = mf_ref[:]
+    # z then x cascade, per y-slice (identical dot shapes to _kernel_xz)
+    for y in range(B):
+        t = v_ref[:, y, :]  # (bz, bx)
+        t = tp.mxu_dot3(opz, t, split)
+        t = tp.mxu_dot3(t, opxt, split)
+        sA[y, :, :] = t
+    # y cascade per z-slice + scale (identical to _kernel_ytok's dot)
+    for z in range(B):
+        t = sA[:, z, :]  # (by, bx)
+        t = tp.mxu_dot3(opy, t, split)
+        fv_ref[z * B : (z + 1) * B, :] = t * mf
+
+    # tokenize in TR-row sub-tiles (one 16384-row _tile_desc call makes
+    # every temporary 8 MB and blows the scoped-vmem budget — measured
+    # 124.7M); the carry chains through a plain loop variable (the whole
+    # block lives in this one grid step), the lookahead window reads the
+    # next sub-tile's head straight from VMEM, and zero runs never span
+    # blocks so the chain starts at -1
+    ncpb = B * B * B // 128
+    ntiles = ncpb // tp.TR
+    carry = jnp.int32(-1)
+    zero8 = jnp.zeros((8, 128), jnp.float32)
+    for t in range(ntiles):
+        fv_t = fv_ref[t * tp.TR : (t + 1) * tp.TR, :]
+        nxt = (
+            fv_ref[(t + 1) * tp.TR : (t + 1) * tp.TR + 8, :]
+            if t + 1 < ntiles else zero8  # block_end forces run_end
+        )
+        desc_t, _cost, carry = tp._tile_desc(
+            fv_t, nxt, carry, pl.program_id(0) * ntiles + t, ncpb
+        )
+        desc_ref[t * tp.TR : (t + 1) * tp.TR, :] = desc_t
+
+
+@functools.partial(jax.jit, static_argnames=("vol_shape3", "interpret"))
+def tokenize_block_fused(vol, mulfac, vol_shape3, interpret=False):
+    """(nz, ny, nx) volume -> (fv_chunks, desc), one kernel pass."""
+    nz, ny, nx = vol_shape3
+    nbz, nby, nbx = nz // B, ny // B, nx // B
+    cells = B * B * B
+    cpb = cells // 128
+    nblocks = nbz * nby * nbx
+    opz = wavelet._f32(wavelet.forward_matrix(B))
+    opxt = wavelet._f32(wavelet.forward_matrix(B).T)
+    opy = wavelet._f32(wavelet.forward_matrix(B))
+    mf = jnp.reshape(jnp.asarray(mulfac, jnp.float32), (1, 1))
+    split = False  # HIGHEST wins for 128-wide dots (see forward_xz)
+
+    def in_map(b):
+        bzi = b // (nby * nbx)
+        byi = (b // nbx) % nby
+        bxi = b % nbx
+        return (bzi, byi, bxi)
+
+    fv, desc = pl.pallas_call(
+        functools.partial(_kernel_block, split=split),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((B, B, B), in_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, B), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, B), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, B), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((cpb, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cpb, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nblocks * cpb, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nblocks * cpb, 128), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, B, B), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(vol, opz, opxt, opy, mf)
+    return fv, desc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("vol_shape3", "block", "interpret")
+)
+def tokenize_desc_block(vol, glob_mulfac, vol_shape3, block,
+                        interpret=False):
+    """Whole-block producer: same contract as tokenize_desc_fused."""
+    from . import rle_device
+
+    assert fused_path_ok(vol_shape3, block)
+    cells = B * B * B
+    fv, desc = tokenize_block_fused(
+        vol, glob_mulfac, vol_shape3, interpret=interpret
+    )
+    nchunks = desc.shape[0]
+    ncpb = cells // 128
+    n = nchunks // ncpb
+    chunk_bytes = (desc & 7).sum(-1).reshape(n, ncpb)
+    sizes0 = chunk_bytes.sum(-1)
+    raw = sizes0 > 4 * cells
+    sizes = jnp.where(raw, I32(4 * cells), sizes0)
+    chunk_bytes = jnp.where(raw[:, None], I32(0), chunk_bytes).reshape(nchunks)
+    active = chunk_bytes > 0
+    acount = active.sum(dtype=I32)
+    lcount = (
+        (chunk_bytes + (rle_device.SUBROW - 1)) // rle_device.SUBROW
+    ).sum(dtype=I32)
+    counts = jnp.stack([acount, lcount])
+    return fv, desc, chunk_bytes, sizes, raw, counts

@@ -520,9 +520,9 @@ def pack_active(fv_chunks, desc, chunk_bytes, acap, lcap,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tcap", "scap", "lcap", "plane_geom"),
+    static_argnames=("tcap", "lcap", "plane_geom"),
 )
-def pack_active_stripe_seg(fv3, d3, cbrow, raw, tcap, scap, lcap,
+def pack_active_stripe_seg(fv3, d3, cbrow, raw, tcap, lcap,
                            plane_geom):
     """PASS 2 for the bx<128 stripe path, SEGMENT-granular (round 3).
 
@@ -538,11 +538,17 @@ def pack_active_stripe_seg(fv3, d3, cbrow, raw, tcap, scap, lcap,
     fv3 / d3: the scaled-coefficient and descriptor planes viewed as
     (R*T, 128) (reshaped at a jit boundary — the codec does this
     eagerly); cbrow (R, NL) per-(row, block-column) byte counts from the
-    stripe tokenize kernel; raw (nnn,) bool.  tcap/scap/lcap: host-chosen
-    buckets for live thirds / live segments / live subrows (from the
-    stripe counts readback).  Returns (subrows (lcap, SUBROW) u8,
-    sidx (scap,) global segment ids, sbytes (scap,)) — segments in
-    stripe-row-major order (NOT block order; assembly reorders).
+    stripe tokenize kernel; raw (nnn,) bool.  tcap/lcap: host-chosen
+    buckets for live thirds / live subrows (from the stripe counts
+    readback).  Returns (subrows (lcap, SUBROW) u8, lsid (lcap,) the
+    owning global segment id per live subrow, lsb (lcap,) that
+    segment's byte count) — per-SUBROW metadata: the round-3 merge of
+    the separate per-segment compaction into the subrow compaction (two
+    chained log-shift compactions cost ~1.2 ms of small-op launches at
+    the CI config; one chain carrying three rows is cheaper).  The host
+    derives segment spans from where lsid changes
+    (assemble_payload_segments).  Subrows arrive in stripe-row-major
+    segment order (NOT block order; assembly reorders).
     """
     from . import pack_pallas, wavelet as _wav
 
@@ -576,39 +582,33 @@ def pack_active_stripe_seg(fv3, d3, cbrow, raw, tcap, scap, lcap,
 
     packed = pack_pallas.pack_staging_seg(gf, gd, bx).astype(U8)
 
-    # per-segment metadata in gathered (third-major) order
+    # ONE compaction over the subrow domain carries the subrow index AND
+    # its owner segment's (id, bytes) — sid can exceed 2^22 at large
+    # volumes, so it rides as its own row rather than bit-packed
     sb_flat = gcb.reshape(tcap * rpc)
     sid_flat = (tidx[:, None] * rpc
                 + jnp.arange(rpc, dtype=I32)[None, :]).reshape(tcap * rpc)
-    stacked = jnp.stack([sid_flat, sb_flat])
-    packed2, count2 = pack.compact_live(
-        (stacked,), jnp.broadcast_to(sb_flat > 0, (2, tcap * rpc)),
-        pack.ceil_log2(tcap * rpc),
-    )
-    scount = count2[0]
-    srow = jnp.arange(tcap * rpc, dtype=I32)
-    sidx = _fit(jnp.where(srow < scount, packed2[0][0], 0), scap)
-    sbytes = _fit(jnp.where(srow < scount, packed2[0][1], 0), scap)
-
-    # live-subrow squeeze: segment (i, j) owns subrows
-    # (i*rpc + j)*spseg .. +spseg of the packed staging
     nsub = (sb_flat + (SUBROW - 1)) // SUBROW  # <= spseg by construction
+    nsr = tcap * rpc * spseg
     sub_live = (
         jnp.arange(spseg, dtype=I32)[None, :] < nsub[:, None]
-    ).reshape(tcap * rpc * spseg)
-    (lidx,), lcount = pack.compact_live(
-        (jnp.arange(tcap * rpc * spseg, dtype=I32),), sub_live,
-        pack.ceil_log2(tcap * rpc * spseg),
+    ).reshape(nsr)
+    stacked = jnp.stack([
+        jnp.arange(nsr, dtype=I32),
+        jnp.broadcast_to(sid_flat[:, None], (tcap * rpc, spseg)).reshape(nsr),
+        jnp.broadcast_to(sb_flat[:, None], (tcap * rpc, spseg)).reshape(nsr),
+    ])
+    packed2, count2 = pack.compact_live(
+        (stacked,), jnp.broadcast_to(sub_live, (3, nsr)),
+        pack.ceil_log2(nsr),
     )
-    lidx = _fit(
-        jnp.where(jnp.arange(tcap * rpc * spseg, dtype=I32) < lcount,
-                  lidx, 0),
-        lcap,
-    )
-    subrows = jnp.take(
-        packed.reshape(tcap * rpc * spseg, SUBROW), lidx, axis=0
-    )
-    return subrows, sidx, sbytes
+    lcount = count2[0]
+    live = jnp.arange(nsr, dtype=I32) < lcount
+    lidx = _fit(jnp.where(live, packed2[0][0], 0), lcap)
+    lsid = _fit(jnp.where(live, packed2[0][1], -1), lcap, fill=-1)
+    lsb = _fit(jnp.where(live, packed2[0][2], 0), lcap)
+    subrows = jnp.take(packed.reshape(nsr, SUBROW), lidx, axis=0)
+    return subrows, lsid, lsb
 
 
 def _masked_seg_bytes(cbrow, raw, vol_shape3, blk):
@@ -651,10 +651,13 @@ def stripe_seg_counts(cbrow, raw, vol_shape3, blk):
     return jnp.stack([tcount, scount, slcount])
 
 
-def assemble_payload_segments(subrows_h, sidx_h, sbytes_h, scount, sizes_h,
+def assemble_payload_segments(subrows_h, lsid_h, lsb_h, slcount, sizes_h,
                               raw_h, raw_bytes_h, cells, blk, vol_shape3):
-    """Host: ragged concat from per-SEGMENT metadata (stripe seg path).
+    """Host: ragged concat from per-SUBROW metadata (stripe seg path).
 
+    `lsid_h`/`lsb_h` carry each live subrow's owning segment id and that
+    segment's byte count (pack_active_stripe_seg); a segment's subrows
+    are consecutive, so segment spans fall out of where lsid changes.
     Segments arrive in stripe-row-major order (r-major, then block
     column); the container needs block order.  A stable argsort by block
     id groups them while preserving the within-block (z, y) row order —
@@ -662,8 +665,20 @@ def assemble_payload_segments(subrows_h, sidx_h, sbytes_h, scount, sizes_h,
     """
     sizes = np.asarray(sizes_h, dtype=np.int64)
     raw = np.asarray(raw_h, dtype=bool)
-    sid = np.asarray(sidx_h[:scount], dtype=np.int64)
-    sb = np.asarray(sbytes_h[:scount], dtype=np.int64)
+    lsid = np.asarray(lsid_h[:slcount], dtype=np.int64)
+    lsb = np.asarray(lsb_h[:slcount], dtype=np.int64)
+    if slcount:
+        first = np.empty(slcount, dtype=bool)
+        first[0] = True
+        np.not_equal(lsid[1:], lsid[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        sid = lsid[starts]
+        sb = lsb[starts]
+    else:
+        starts = np.empty(0, np.int64)
+        sid = np.empty(0, np.int64)
+        sb = np.empty(0, np.int64)
+    scount = sid.size
 
     total = int(sizes.sum())
     stream = np.empty(total, dtype=np.uint8)
@@ -678,9 +693,9 @@ def assemble_payload_segments(subrows_h, sidx_h, sbytes_h, scount, sizes_h,
         nbx2 = _wav.padded_nbx(nbx, bx)
         nyp = nby * by
 
-        # subrow source offsets accrue in ARRIVAL (stripe) order
-        nsub = (sb + SUBROW - 1) // SUBROW
-        src = (np.cumsum(nsub) - nsub) * SUBROW
+        # each segment's subrows are consecutive in the compacted
+        # staging: its bytes start at its first live subrow's index
+        src = starts * SUBROW
 
         r = sid // nbx2
         g = sid % nbx2  # < nbx (phantom/raw segments carry 0 bytes)

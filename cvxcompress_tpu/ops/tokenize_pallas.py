@@ -113,7 +113,12 @@ def mxu_dot3(a, b, split):
 
 
 def _tile_desc(fv, nxt_vals, carry_in, i, ncpb):
-    """Shared tile computation: (desc, cost, carry_out) for one tile."""
+    """Shared tile computation: (desc, cost, carry_out) for one tile.
+
+    The tile row count is taken from `fv` (the chunk kernels pass
+    (TR, 128); the whole-block 128^3 kernel passes (cells//128, 128)).
+    `i` indexes tiles of that size for the global cell index."""
+    TR = fv.shape[0]
 
     # --- quantize with AVX cvttps semantics (Run_Length_Encode_Slow.cpp:203)
     in_range = (fv >= jnp.float32(-2147483648.0)) & (
@@ -841,6 +846,13 @@ def _kernel_stripe_fused(v_ref, opz_ref, opy_ref, opxt_ref, ex_ref, sp_ref,
     desc, cbrow, _carry = _tile_desc_stripe(
         fv, nxt_row, carry0, zt, byi, geom, ex_ref[:], sp_ref[:]
     )
+    # NOTE round 3: emitting fv/desc directly in the thirds layout
+    # ((.., T, 128) 5D out specs) to skip the XLA (R, W)->(R*T, 128)
+    # reshape REGRESSED (~+1.4 ms at the CI config): T < 8 makes the
+    # minor (T, 128) tile 3-of-8 sublane-padded, fattening every output
+    # DMA ~2.7x, and the final collapse becomes a real relayout.  The
+    # XLA reshape at the jit boundary runs near roofline (~0.8 ms) —
+    # keep it.
     for zl in range(zg):
         fv_ref[zl, 0, :, :] = fv[zl * by : (zl + 1) * by, :]
         desc_ref[zl, 0, :, :] = desc[zl * by : (zl + 1) * by, :]

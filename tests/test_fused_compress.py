@@ -6,6 +6,7 @@ cascade to the 1e-5 contract but not bitwise with the staged path;
 containers are validated by decode quality and cross-backend decode.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -143,3 +144,24 @@ def test_mxu_dot3_split_accuracy():
         tp.mxu_dot3(jnp.asarray(iv), jnp.asarray(onehot), True)
     )
     assert np.array_equal(got_i, iv @ onehot)
+
+
+def test_block_kernel_matches_two_kernel_path(rng):
+    """CVX_FUSED_W=block (whole-block single kernel) emits bit-identical
+    fv/desc to the two-kernel path — same dots in the same order, only
+    the HBM round trip between them is removed."""
+    shape, block = (128, 128, 256), (128, 128, 128)
+    vol = (rng.standard_normal(shape) * 40).astype(np.float32)
+    vol[rng.random(shape) >= 0.2] = 0.0
+    v = jnp.asarray(vol)
+    mf = jnp.float32(37.5)
+    fv1, d1, cb1, s1, r1, c1 = fc.tokenize_desc_fused(
+        v, mf, shape, block, interpret=True
+    )
+    fv2, d2, cb2, s2, r2, c2 = fc.tokenize_desc_block(
+        v, mf, shape, block, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(fv1), np.asarray(fv2))
+    np.testing.assert_array_equal(np.asarray(cb1), np.asarray(cb2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
