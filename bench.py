@@ -87,6 +87,34 @@ def measure_rtt():
     return best
 
 
+
+def loop_time(run, iters, reps=2):
+    """Best wall time of `iters` chained dispatches + ONE fetch."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        last = None
+        for j in range(iters):
+            last = run(j)
+        fetch1(last)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def per_iter_time(run, iters, reps=2):
+    """Per-iteration time by TWO-LENGTH DIFFERENCING: t = (T(2k)-T(k))/k.
+
+    Subtracting a separately measured RTT is fragile — the tunnel RTT
+    jitters by several ms, and when iters*t is smaller than that jitter
+    the difference goes negative (the round-3 block sweep recorded
+    16,777,216,000 MC/s "decompress" from exactly this).  Differencing
+    two loop lengths cancels the constant dispatch+fetch offset exactly.
+    """
+    t1 = loop_time(run, iters, reps)
+    t2 = loop_time(run, 2 * iters, reps)
+    return max((t2 - t1) / iters, 1e-9)
+
+
 def bench_device_compress(vol, block, scale, rtt, iters=6):
     """Per-volume device time of the full compress pipeline (W+T+P jits)."""
     import jax
@@ -177,15 +205,7 @@ def bench_device_compress(vol, block, scale, rtt, iters=6):
                 return sub
 
     fetch1(full(vd[0]))  # compile
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        last = None
-        for j in range(iters):
-            last = full(vd[j % 2])
-        fetch1(last)
-        best = min(best, time.perf_counter() - t0)
-    return max((best - rtt) / iters, 1e-9)
+    return per_iter_time(lambda j: full(vd[j % 2]), iters)
 
 
 def bench_device_decompress(data, vol_shape, rtt, iters=6):
@@ -219,15 +239,7 @@ def bench_device_decompress(data, vol_shape, rtt, iters=6):
         )
 
     fetch1(run(segs[0]))
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        last = None
-        for j in range(iters):
-            last = run(segs[j % 2])
-        fetch1(last)
-        best = min(best, time.perf_counter() - t0)
-    return max((best - rtt) / iters, 1e-9), t_plan
+    return per_iter_time(lambda j: run(segs[j % 2]), iters), t_plan
 
 
 def bench_host_stream(vol, block, scale, n_vols=4, workers=6):
@@ -359,13 +371,7 @@ def bench_block_sweep(rtt):
         for tag, f in (("fwd", dw.forward_3d), ("inv", dw.inverse_3d)):
             g = chain(f)
             fetch1(g(x))
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                y = g(x)
-                fetch1(y)
-                best = min(best, time.perf_counter() - t0)
-            el = max((best - rtt) / K, 1e-9)
+            el = per_iter_time(lambda j: g(x), 2) / K  # 2 chains of K
             entry[f"transform_{tag}_mcells_s"] = round(n * bs**3 / el / 1e6)
         tf = entry["transform_fwd_mcells_s"]
         ti = entry["transform_inv_mcells_s"]

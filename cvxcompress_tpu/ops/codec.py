@@ -429,6 +429,38 @@ def _encode_device(vol_dev, glob_mulfac, scale, use_local, block, chunk):
 
 
 @jax.jit
+def _bundle_outputs(subrows, aidx, abytes, sizes, raw):
+    """Serialize the pack outputs into ONE u8 buffer (one d2h fetch)."""
+    def u8(x):
+        if x.dtype == jnp.uint8:
+            return x.reshape(-1)
+        if x.dtype == jnp.bool_:
+            return x.astype(jnp.uint8)
+        return jax.lax.bitcast_convert_type(x, jnp.uint8).reshape(-1)
+
+    return jnp.concatenate(
+        [u8(sizes), u8(raw), u8(aidx), u8(abytes), u8(subrows)]
+    )
+
+
+def _fetch_outputs(subrows, aidx, abytes, sizes, raw):
+    """One bundled device->host fetch of the five pack outputs."""
+    blob = np.asarray(_bundle_outputs(subrows, aidx, abytes, sizes, raw))
+    n = sizes.shape[0]
+    o0 = 4 * n
+    o1 = o0 + n
+    na, nb = aidx.shape[0], abytes.shape[0]
+    o2 = o1 + 4 * na
+    o3 = o2 + 4 * nb
+    sizes_h = blob[:o0].view(np.int32)
+    raw_h = blob[o0:o1].view(np.bool_)
+    aidx_h = blob[o1:o2].view(np.int32)
+    abytes_h = blob[o2:o3].view(np.int32)
+    subrows_h = blob[o3:].reshape(subrows.shape)
+    return subrows_h, aidx_h, abytes_h, sizes_h, raw_h
+
+
+@jax.jit
 def _gather_rows(mat, idx):
     return jnp.take(mat, idx, axis=0)
 
@@ -561,9 +593,13 @@ def compress(vol, scale, block=(32, 32, 32), use_local_rms=False,
                 nchunks_override=gcfg["nchunks"] if gcfg else None,
                 plane_geom=pgeom,
             )
-    subrows_h = np.asarray(subrows)
-    sizes_h = np.asarray(sizes)
-    raw_h = np.asarray(raw)
+    # ONE bundled d2h instead of five: each np.asarray fetch pays a full
+    # host<->device round trip (tunnel RTT ~35 ms; ~50 us PCIe on a
+    # co-located host) — five separate fetches dominated the sustained
+    # stream (measured 341 ms/vol at the CI config, ~6 RTTs)
+    subrows_h, aidx_h, abytes_h, sizes_h, raw_h = _fetch_outputs(
+        subrows, aidx, abytes, sizes, raw
+    )
 
     raw_bytes_h = None
     if raw_h.any():
@@ -589,8 +625,6 @@ def compress(vol, scale, block=(32, 32, 32), use_local_rms=False,
     import time as _time
 
     global last_host_assembly_s
-    aidx_h = np.asarray(aidx)  # d2h fetches (tunnel RTT), not host work
-    abytes_h = np.asarray(abytes)
     t0 = _time.perf_counter()
     if seg:
         stream, _total = rle_device.assemble_payload_segments(
