@@ -520,9 +520,9 @@ def pack_active(fv_chunks, desc, chunk_bytes, acap, lcap,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tcap", "lcap", "plane_geom"),
+    static_argnames=("tcap", "lcap", "bcap", "plane_geom"),
 )
-def pack_active_stripe_seg(fv3, d3, cbrow, raw, tcap, lcap,
+def pack_active_stripe_seg(fv3, d3, cbrow, raw, tcap, lcap, bcap,
                            plane_geom):
     """PASS 2 for the bx<128 stripe path, SEGMENT-granular (round 3).
 
@@ -540,9 +540,10 @@ def pack_active_stripe_seg(fv3, d3, cbrow, raw, tcap, lcap,
     eagerly); cbrow (R, NL) per-(row, block-column) byte counts from the
     stripe tokenize kernel; raw (nnn,) bool.  tcap/lcap: host-chosen
     buckets for live thirds / live subrows (from the stripe counts
-    readback).  Returns (subrows (lcap, SUBROW) u8, lsid (lcap,) the
-    owning global segment id per live subrow, lsb (lcap,) that
-    segment's byte count) — per-SUBROW metadata: the round-3 merge of
+    readback).  Returns (stream (bcap,) u8 — the DENSE payload bytes in
+    stripe-row-major segment order, lsid (lcap,) the owning global
+    segment id per live subrow, lsb (lcap,) that segment's byte
+    count) — per-SUBROW metadata: the round-3 merge of
     the separate per-segment compaction into the subrow compaction (two
     chained log-shift compactions cost ~1.2 ms of small-op launches at
     the CI config; one chain carrying three rows is cheaper).  The host
@@ -593,13 +594,18 @@ def pack_active_stripe_seg(fv3, d3, cbrow, raw, tcap, lcap,
     sub_live = (
         jnp.arange(spseg, dtype=I32)[None, :] < nsub[:, None]
     ).reshape(nsr)
+    spi = jnp.arange(spseg, dtype=I32)[None, :]
+    sub_bytes = jnp.clip(
+        sb_flat[:, None] - spi * SUBROW, 0, SUBROW
+    ).reshape(nsr)  # live bytes within each subrow
     stacked = jnp.stack([
         jnp.arange(nsr, dtype=I32),
         jnp.broadcast_to(sid_flat[:, None], (tcap * rpc, spseg)).reshape(nsr),
         jnp.broadcast_to(sb_flat[:, None], (tcap * rpc, spseg)).reshape(nsr),
+        sub_bytes,
     ])
     packed2, count2 = pack.compact_live(
-        (stacked,), jnp.broadcast_to(sub_live, (3, nsr)),
+        (stacked,), jnp.broadcast_to(sub_live, (4, nsr)),
         pack.ceil_log2(nsr),
     )
     lcount = count2[0]
@@ -607,8 +613,25 @@ def pack_active_stripe_seg(fv3, d3, cbrow, raw, tcap, lcap,
     lidx = _fit(jnp.where(live, packed2[0][0], 0), lcap)
     lsid = _fit(jnp.where(live, packed2[0][1], -1), lcap, fill=-1)
     lsb = _fit(jnp.where(live, packed2[0][2], 0), lcap)
+    blive = _fit(jnp.where(live, packed2[0][3], 0), lcap)
     subrows = jnp.take(packed.reshape(nsr, SUBROW), lidx, axis=0)
-    return subrows, lsid, lsb
+
+    # byte-compact the 32 B-granular subrow staging into the DENSE
+    # payload stream (round 3): segments average a few bytes, so the
+    # subrow staging is ~10x the live payload — d2h (and the host's
+    # assembly source) shrink to ~compressed size for ~21 u8 roll steps
+    bmask = (
+        jnp.arange(SUBROW, dtype=I32)[None, :] < blive[:, None]
+    ).reshape(lcap * SUBROW)
+    (bs,), bcount = pack.compact_live(
+        (subrows.reshape(lcap * SUBROW),), bmask,
+        pack.ceil_log2(lcap * SUBROW),
+    )
+    stream = _fit(
+        jnp.where(jnp.arange(lcap * SUBROW, dtype=I32) < bcount, bs, 0),
+        bcap,
+    ).astype(U8)
+    return stream, lsid, lsb
 
 
 def _masked_seg_bytes(cbrow, raw, vol_shape3, blk):
@@ -648,7 +671,8 @@ def stripe_seg_counts(cbrow, raw, vol_shape3, blk):
     tcount = jnp.any(cb_t3 > 0, axis=1).sum(dtype=I32)
     scount = (cbm > 0).sum(dtype=I32)
     slcount = ((cbm + (SUBROW - 1)) // SUBROW).sum(dtype=I32)
-    return jnp.stack([tcount, scount, slcount])
+    pbytes = cbm.sum(dtype=I32)  # live payload bytes (stream cap)
+    return jnp.stack([tcount, scount, slcount, pbytes])
 
 
 def assemble_payload_segments(subrows_h, lsid_h, lsb_h, slcount, sizes_h,
@@ -693,9 +717,8 @@ def assemble_payload_segments(subrows_h, lsid_h, lsb_h, slcount, sizes_h,
         nbx2 = _wav.padded_nbx(nbx, bx)
         nyp = nby * by
 
-        # each segment's subrows are consecutive in the compacted
-        # staging: its bytes start at its first live subrow's index
-        src = starts * SUBROW
+        # the device stream is byte-dense in segment arrival order
+        src = np.cumsum(sb) - sb
 
         r = sid // nbx2
         g = sid % nbx2  # < nbx (phantom/raw segments carry 0 bytes)
@@ -711,6 +734,8 @@ def assemble_payload_segments(subrows_h, lsid_h, lsb_h, slcount, sizes_h,
         dst = block_base[blk_s] + (excl - start_excl)
 
         flat = np.ascontiguousarray(subrows_h, dtype=np.uint8).reshape(-1)
+        # (the stream is already byte-dense; `flat` keeps the name the
+        # ragged copy helpers expect)
         try:
             from . import rle_host
 
@@ -873,6 +898,8 @@ def assemble_payload_filtered(subrows_h, aidx_h, abytes_h, acount, sizes_h,
         dst = block_base[blk] + (excl - start_excl)
 
         flat = np.ascontiguousarray(subrows_h, dtype=np.uint8).reshape(-1)
+        # (the stream is already byte-dense; `flat` keeps the name the
+        # ragged copy helpers expect)
         tot_rle = int(ab.sum())
         sidx = np.repeat(src - excl, ab) + np.arange(tot_rle)
         didx = np.repeat(dst - excl, ab) + np.arange(tot_rle)
@@ -918,6 +945,8 @@ def assemble_payload_sparse(subrows_h, aidx_h, abytes_h, acount, sizes_h,
         src = (np.cumsum(nsub) - nsub) * SUBROW
 
         flat = np.ascontiguousarray(subrows_h, dtype=np.uint8).reshape(-1)
+        # (the stream is already byte-dense; `flat` keeps the name the
+        # ragged copy helpers expect)
         try:
             from . import rle_host
 
@@ -972,6 +1001,8 @@ def assemble_payload(subrows_h, chunk_bytes_h, sizes_h, raw_h, raw_bytes_h,
 
     if cb.sum():
         flat = np.ascontiguousarray(subrows_h, dtype=np.uint8).reshape(-1)
+        # (the stream is already byte-dense; `flat` keeps the name the
+        # ragged copy helpers expect)
         tot_rle = int(cb.sum())
         # gather indices: for chunk q, flat[src_q : src_q + s_q]
         sidx = np.repeat(src - (np.cumsum(cb) - cb), cb) + np.arange(tot_rle)

@@ -84,6 +84,7 @@ _TD_MXU = _os.environ.get("CVX_TD_MXU", "1") == "1"
 _TD_HIER = _os.environ.get("CVX_TD_HIER", "0") == "1"
 
 
+
 def mxu_dot3(a, b, split):
     """Float matmul inside a Pallas kernel at ~Precision.HIGH cost.
 
@@ -830,9 +831,12 @@ def _kernel_stripe_fused(v_ref, opz_ref, opy_ref, opxt_ref, ex_ref, sp_ref,
     bx, by, zg, bz, nbx2, nby, cells = geom
     W = nbx2 * bx
 
-    a4 = v_ref[:, 0, :, :]  # (bz, by, W) raw padded volume slab
     opz = opz_ref[:]
     opy = opy_ref[:]
+    # NOTE: batching the z cascade into one (bz, by*W) dot needs a
+    # (bz, 1, by*W) input tile, which Mosaic rejects (the second-minor
+    # block dim must be 8-divisible or full) — the per-y loop stays
+    a4 = v_ref[:, 0, :, :]  # (bz, by, W) raw padded volume slab
     for y in range(by):
         sA[y * bz : (y + 1) * bz, :] = mxu_dot3(opz, a4[:, y, :], split)
     vA = sA[:].reshape(by, bz, W)
