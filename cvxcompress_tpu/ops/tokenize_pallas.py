@@ -535,7 +535,8 @@ def _group_or_broadcast_from_lane0(x, gl, g):
     return x
 
 
-def _tile_desc_stripe(fv, nxt_row, carry_in, zt, byi, geom, ex, sp):
+def _tile_desc_stripe(fv, nxt_row, carry_in, zt, byi, geom, ex, sp,
+                      sy=None):
     """(TRS, W) volume-order stripe -> (desc, cost, carry_out).
 
     geom = (bx, by, zg, bz, nbx2, nby, cells).  Cell order within each
@@ -582,13 +583,26 @@ def _tile_desc_stripe(fv, nxt_row, carry_in, zt, byi, geom, ex, sp):
         + (is_short.astype(I32) << 8)
         + (is_i3.astype(I32) << 12)
     )
-    # NOTE: the one-hot G8 dot that wins in _tile_desc (W == 128) LOSES
-    # here — at stripe width W >= 384 the (W, W) dot is ~9x the FLOPs
-    # and measured 12.3 ms vs 11.1 for the whole CI-config compress;
-    # the 3-step masked roll chain stays.
-    y = code
-    for s in (1, 2, 4):
-        y = y + jnp.where(l8 < 8 - s, pltpu.roll(y, W - s, 1), 0)
+    if sy is not None:
+        # one-hot G8 dots PER 128-LANE SLICE (a full (W, W) dot is ~9x
+        # the FLOPs at W >= 384 and measured slower; the 128-wide form
+        # is the _tile_desc winner) — group sums land on every lane of
+        # each group, so the mode mask+OR-broadcast disappears too.
+        # Slices write into the caller's scratch (Mosaic has no concat).
+        li = jax.lax.broadcasted_iota(I32, (128, 128), 0)
+        lj = jax.lax.broadcasted_iota(I32, (128, 128), 1)
+        g8 = ((li // 8) == (lj // 8)).astype(jnp.float32)
+        for t in range(W // 128):
+            sl = slice(t * 128, (t + 1) * 128)
+            sy[:, sl] = jnp.dot(
+                code[:, sl].astype(jnp.float32), g8,
+                preferred_element_type=jnp.float32, precision=hi,
+            )
+        y = sy[:, :W].astype(I32)
+    else:
+        y = code
+        for s in (1, 2, 4):
+            y = y + jnp.where(l8 < 8 - s, pltpu.roll(y, W - s, 1), 0)
     nzero = y & 15
     nb = (y >> 4) & 15
     ns = (y >> 8) & 15
@@ -601,8 +615,10 @@ def _tile_desc_stripe(fv, nxt_row, carry_in, zt, byi, geom, ex, sp):
         & (nb + (ns - nb) * 3 + (8 - ns) * 4 > 25)
     )
     mode = jnp.where(allbyte, 1, jnp.where(allshort, 2, jnp.where(alli3, 3, 0)))
-    mode = jnp.where(l8 == 0, mode, 0)
-    mode = _group_or_broadcast_from_lane0(mode, l8, 8)
+    if sy is None:
+        # roll-chain sums are valid only at each group's lane 0
+        mode = jnp.where(l8 == 0, mode, 0)
+        mode = _group_or_broadcast_from_lane0(mode, l8, 8)
 
     # BLOCK-LOCAL cell index of every cell in the stripe
     zloc = (zt % (bz // zg)) * zg + rows // by
@@ -684,7 +700,7 @@ def _tile_desc_stripe(fv, nxt_row, carry_in, zt, byi, geom, ex, sp):
 
 
 def _kernel_stripe(fv_ref, nxt_ref, ex_ref, sp_ref, desc_ref, cb_ref,
-                   carry_ref, *, geom):
+                   carry_ref, sy, *, geom):
     byi = pl.program_id(0)
     zt = pl.program_id(1)
     bx, by, zg, bz, nbx2, nby, cells = geom
@@ -700,7 +716,8 @@ def _kernel_stripe(fv_ref, nxt_ref, ex_ref, sp_ref, desc_ref, cb_ref,
     nr = nxt_ref[0, 0, 0, :]
     nxt_row = ((nr > -1.0) & (nr < 1.0))[None, :]
     desc, cbrow, carry_out = _tile_desc_stripe(
-        fv, nxt_row, carry_ref[0:1, :], zt, byi, geom, ex_ref[:], sp_ref[:]
+        fv, nxt_row, carry_ref[0:1, :], zt, byi, geom, ex_ref[:], sp_ref[:],
+        sy=sy,
     )
     carry_ref[0:1, :] = carry_out
     for zl in range(zg):
@@ -780,7 +797,10 @@ def tokenize_tiles_stripe(fvv, vol_shape3, block, interpret=False):
             jax.ShapeDtypeStruct((nzp, nby, by, W), jnp.int32),
             jax.ShapeDtypeStruct((nzp, nby, by, NL), jnp.int32),
         ),
-        scratch_shapes=[pltpu.VMEM((8, NL), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((8, NL), jnp.float32),
+            pltpu.VMEM((zg * by, W), jnp.float32),  # G8 slice scratch
+        ],
         interpret=interpret,
     )(v4, v4, jnp.asarray(ex), jnp.asarray(sp))
     return desc.reshape(nzp * nyp, W), cbrow.reshape(nzp * nyp, NL)
@@ -847,8 +867,9 @@ def _kernel_stripe_fused(v_ref, opz_ref, opy_ref, opxt_ref, ex_ref, sp_ref,
 
     carry0 = jnp.full((1, ex_ref.shape[1]), -1.0, jnp.float32)
     nxt_row = jnp.zeros((1, W), I32) != 0  # block_end forces run_end
+    # sA is dead after the y pass — reuse it as the G8 slice scratch
     desc, cbrow, _carry = _tile_desc_stripe(
-        fv, nxt_row, carry0, zt, byi, geom, ex_ref[:], sp_ref[:]
+        fv, nxt_row, carry0, zt, byi, geom, ex_ref[:], sp_ref[:], sy=sA
     )
     # NOTE round 3: emitting fv/desc directly in the thirds layout
     # ((.., T, 128) 5D out specs) to skip the XLA (R, W)->(R*T, 128)
