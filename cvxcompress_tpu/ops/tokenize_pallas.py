@@ -851,11 +851,14 @@ def _kernel_stripe_fused(v_ref, opz_ref, opy_ref, opxt_ref, ex_ref, sp_ref,
     bx, by, zg, bz, nbx2, nby, cells = geom
     W = nbx2 * bx
 
+    # NOTE round 3: composing z and y into ONE Kronecker (bz*by, bz*by)
+    # row-mixing dot REGRESSED (13.0-14.3 ms vs 11.6-12.3 at the CI
+    # config) — its 5x FLOPs cost more than the per-dot overhead of the
+    # 2*bz tiny K=32 dots it replaced.  Batching those tiny dots along
+    # by*W also fails (Mosaic rejects a (bz, 1, by*W) input tile).  The
+    # per-slice loops stay.
     opz = opz_ref[:]
     opy = opy_ref[:]
-    # NOTE: batching the z cascade into one (bz, by*W) dot needs a
-    # (bz, 1, by*W) input tile, which Mosaic rejects (the second-minor
-    # block dim must be 8-divisible or full) — the per-y loop stays
     a4 = v_ref[:, 0, :, :]  # (bz, by, W) raw padded volume slab
     for y in range(by):
         sA[y * bz : (y + 1) * bz, :] = mxu_dot3(opz, a4[:, y, :], split)
@@ -957,7 +960,7 @@ def stripe_fused_tiles(vpad, glob_mulfac, vol_shape3, block,
             jax.ShapeDtypeStruct((nzp, nby, by, NL), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((TRS, W), jnp.float32),
+            pltpu.VMEM((TRS, W), jnp.float32),  # z result + G8 slices
             pltpu.VMEM((TRS, W), jnp.float32),
         ],
         # the whole-block-row tile plus _tile_desc_stripe's temporaries
