@@ -235,9 +235,11 @@ def bench_device_decompress(data, vol_shape, rtt, iters=6):
     ssf = jnp.asarray(p["scalefac"])
     nseg = p["segs"].shape[0]
 
+    on_tpu = jcodec.use_pallas()
+
     def run(s):
         return jcodec._decode_and_inverse(
-            s, sblk, sfst, ssf, vol_shape, block, nseg
+            s, sblk, sfst, ssf, vol_shape, block, nseg, on_tpu
         )
 
     fetch1(run(segs[0]))

@@ -57,6 +57,8 @@ import threading
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .. import container as ctn
 
@@ -502,7 +504,8 @@ def decode_to_volume(segs, sub_block, sub_reset, scalefac, vol_shape, block,
     M, e32, c32, vals_s, sv, Bx = _parse_stages(segs, sub_reset, cells,
                                                 on_tpu)
     return _emit_and_scatter(
-        M, e32, c32, vals_s, sv, Bx, scalefac, sub_block, vol_shape, block
+        M, e32, c32, vals_s, sv, Bx, scalefac, sub_block, vol_shape, block,
+        on_tpu=on_tpu,
     )
 
 
@@ -594,9 +597,227 @@ def _emit_values(M, e32, c32, vals_s, sv, Bx, scalefac, cells):
     return emit, val, pos
 
 
+
+
+# ---------------------------------------------------------------------------
+# Pallas emit kernel (round 3): the XLA emit chain is ~70 small ops over
+# (nseg, SEG) planes whose per-op launch overhead (~1.5 ms at the CI
+# config) dwarfs the work; one kernel runs them as VMEM vector ops.
+# Inputs are the parse products; the kernel re-derives the per-byte
+# planes from Bx with pltpu.roll (the LOOK pad makes within-row
+# lookahead safe) and handles the group-of-8 carriers' cross-row left
+# shifts with a previous-row window input (shift <= 22 < SEG).
+# Outputs (val, idx) feed the XLA scatter unchanged.
+# ---------------------------------------------------------------------------
+
+TRE = 256  # emit kernel rows per grid step
+SEGP = 640  # SEG + LOOK padded to a lane-tile multiple
+
+
+def _emit_kernel(bx_ref, ist_ref, ob_ref, sf_ref, blk_ref,
+                 pbx_ref, pist_ref, pob_ref,
+                 val_ref, idx_ref, *, geom):
+    (cells, total, bxx, byy, bzz, nby, nbx, nyp, nxp) = geom
+    t = pl.program_id(0)
+    CAP = jnp.int32(cells)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TRE, SEG), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TRE, SEG), 1)
+
+    Bxp = bx_ref[:]  # (TRE, SEGP) i32 byte planes + LOOK pad
+
+    def plane(k):
+        if k == 0:
+            return Bxp[:, :SEG]
+        return pltpu.roll(Bxp, SEGP - k, 1)[:, :SEG]
+
+    b0 = plane(0)
+    sv = _i8(b0)
+    is_start = ist_ref[:]
+    out_base = ob_ref[:]
+    sf = sf_ref[:]
+
+    plain = (sv > -125) & (sv < 125)
+    v16 = plane(1) | (plane(2) << 8)
+    v16 = v16 - ((v16 >> 15) << 16)
+    v24 = plane(1) | (plane(2) << 8) | (plane(3) << 16)
+    v24 = v24 - ((v24 >> 23) << 24)
+    f32bits = (
+        plane(1) | (plane(2) << 8) | (plane(3) << 16) | (plane(4) << 24)
+    )
+    fraw = jax.lax.bitcast_convert_type(f32bits, jnp.float32)
+    val1 = jnp.where(plain, sv, 0)
+    val1 = jnp.where(sv == -125, v16, val1)
+    val1 = jnp.where(sv == -127, v24, val1)
+    val1f = val1.astype(jnp.float32)
+    val1f = jnp.where(sv == -128, fraw, val1f)
+    emit = (is_start == 1) & (plain | (sv == -125) | (sv == -127)
+                              | (sv == -128))
+    val = jnp.where(emit, val1f * sf, 0.0)
+    pos = jnp.where(emit, out_base, 0)
+
+    # group-of-8 carriers: left shifts with previous-row carry
+    start16 = (is_start == 1) & (sv == -126)
+    start24 = (is_start == 1) & (sv == 126)
+    base16 = jnp.where(start16, out_base, 0)
+    base24 = jnp.where(start24, out_base, 0)
+
+    # previous tile's LAST row = row 7 of the (8, SEGP) window block
+    # (a (1, x) block is not a legal Mosaic tile)
+    pBxp = pbx_ref[7:8, :]
+    pist = pist_ref[7:8, :]
+    pob = pob_ref[7:8, :]
+    psv = _i8(pBxp[:, :SEG])
+    ps16 = (pist == 1) & (psv == -126)
+    ps24 = (pist == 1) & (psv == 126)
+    pb16 = jnp.where(ps16, pob, 0)
+    pb24 = jnp.where(ps24, pob, 0)
+    first = (rows == 0) & (t == 0)  # no previous row exists at all
+
+    def prevrows(x, px, fill):
+        """x shifted down one row; row 0 takes the window row (the
+        previous tile's last row), or `fill` on the very first row."""
+        shifted_rows = pltpu.roll(x, 1, 0)
+        top = jnp.where(rows == 0, jnp.broadcast_to(px, (TRE, SEG)),
+                        shifted_rows)
+        return jnp.where(first, fill, top)
+
+    s16p = prevrows(start16.astype(jnp.int32), ps16.astype(jnp.int32), 0)
+    s24p = prevrows(start24.astype(jnp.int32), ps24.astype(jnp.int32), 0)
+    b16p = prevrows(base16, pb16, 0)
+    b24p = prevrows(base24, pb24, 0)
+
+    def lshift(x, xp, sh):
+        """out[r, c] = x[r, c-sh], pulling from the previous row's tail
+        for c < sh."""
+        a = pltpu.roll(x, sh, 1)
+        b = pltpu.roll(xp, sh, 1)
+        return jnp.where(lane >= sh, a, b)
+
+    s16i = start16.astype(jnp.int32)
+    s24i = start24.astype(jnp.int32)
+    cv16 = b0 | (plane(1) << 8)
+    cv16 = cv16 - ((cv16 >> 15) << 16)
+    cv24 = b0 | (plane(1) << 8) | (plane(2) << 16)
+    cv24 = cv24 - ((cv24 >> 23) << 24)
+    cv16f = cv16.astype(jnp.float32) * sf
+    cv24f = cv24.astype(jnp.float32) * sf
+    for j in range(8):
+        m16 = lshift(s16i, s16p, 1 + 2 * j) != 0
+        emit = emit | m16
+        val = jnp.where(m16, cv16f, val)
+        pos = jnp.where(m16, lshift(base16, b16p, 1 + 2 * j) + j, pos)
+        m24 = lshift(s24i, s24p, 1 + 3 * j) != 0
+        emit = emit | m24
+        val = jnp.where(m24, cv24f, val)
+        pos = jnp.where(m24, lshift(base24, b24p, 1 + 3 * j) + j, pos)
+
+    emit = emit & (pos < CAP)
+
+    # scatter target (volume order)
+    b = blk_ref[:]
+    bzi = b // (nby * nbx)
+    byi = (b // nbx) % nby
+    bxi = b % nbx
+    zl = pos // (byy * bxx)
+    yl = (pos // bxx) % byy
+    xl = pos % bxx
+    tgt = ((bzi * bzz + zl) * nyp + (byi * byy + yl)) * nxp \
+        + bxi * bxx + xl
+    val_ref[:] = val
+    idx_ref[:] = jnp.where(emit, tgt, jnp.int32(total))
+
+
+def _emit_values_pallas(M, e32, c32, vals_s, sv_unused, Bx, scalefac,
+                        sub_block, vol_shape, block, interpret=False):
+    """(val, idx) planes via the emit kernel; same math as _emit_values
+    + the volume-order target computation (bit-compared in tests)."""
+    from . import wavelet
+
+    nz, ny, nx = vol_shape
+    bxx, byy, bzz = block
+    nbz, nby, nbx = -(-nz // bzz), -(-ny // byy), -(-nx // bxx)
+    nbx2 = wavelet.padded_nbx(nbx, bxx)
+    nzp, nyp, nxp = nbz * bzz, nby * byy, nbx2 * bxx
+    cells = bxx * byy * bzz
+    total = nzp * nyp * nxp
+    nseg = Bx.shape[0]
+    CAP = jnp.int32(cells)
+
+    is_start = ((M >> e32[:, None]) & 1).astype(jnp.int32)  # (nsub, W)
+    tv = vals_s * is_start
+    p_excl = jnp.cumsum(tv, axis=1) - tv
+    out_base = jnp.minimum(c32[:, None] + p_excl, CAP)
+    is_start = is_start.reshape(nseg, SEG)
+    out_base = out_base.reshape(nseg, SEG)
+    if scalefac.shape[0] == 1:
+        sf = jnp.broadcast_to(scalefac.reshape(1, 1), (nseg, SEG))
+    else:
+        sf = jnp.broadcast_to(
+            scalefac.reshape(nseg, SPS, 1), (nseg, SPS, W)
+        ).reshape(nseg, SEG)
+    blk = jnp.broadcast_to(
+        sub_block.reshape(nseg, SPS, 1), (nseg, SPS, W)
+    ).reshape(nseg, SEG)
+
+    nsp = -(-nseg // TRE) * TRE
+    Bxp = jnp.pad(
+        Bx.astype(jnp.int32), ((0, nsp - nseg), (0, SEGP - Bx.shape[1]))
+    )
+    pad2 = ((0, nsp - nseg), (0, 0))
+    is_start = jnp.pad(is_start, pad2)
+    out_base = jnp.pad(out_base, pad2)
+    sf = jnp.pad(sf, pad2)
+    blk = jnp.pad(blk, pad2)
+
+    geom = (cells, total, bxx, byy, bzz, nby, nbx, nyp, nxp)
+    grid = (nsp // TRE,)
+
+    def cur(i):
+        return (i, 0)
+
+    def prev(i):
+        # the 8-row block whose LAST row is the previous tile's last
+        # row; t == 0 reads block 0 and the kernel masks it out
+        return (jnp.maximum(i * (TRE // 8) - 1, 0), 0)
+
+    val, idx = pl.pallas_call(
+        functools.partial(_emit_kernel, geom=geom),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TRE, SEGP), cur, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TRE, SEG), cur, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TRE, SEG), cur, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TRE, SEG), cur, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TRE, SEG), cur, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, SEGP), prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, SEG), prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, SEG), prev, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TRE, SEG), cur, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TRE, SEG), cur, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nsp, SEG), jnp.float32),
+            jax.ShapeDtypeStruct((nsp, SEG), jnp.int32),
+        ),
+        # ~30 live (TRE, SEG) temporaries exceed the 16M default scoped
+        # budget (measured 25.8M)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(Bxp, is_start, out_base, sf, blk, Bxp, is_start, out_base)
+    return val[:nseg], idx[:nseg], total
+
+
 def _emit_and_scatter(M, e32, c32, vals_s, sv, Bx, scalefac, sub_block,
-                      vol_shape, block):
-    """Emit + scatter into the padded volume, in VOLUME order."""
+                      vol_shape, block, on_tpu=False):
+    """Emit + scatter into the padded volume, in VOLUME order.
+
+    On TPU the per-byte emit chain runs as ONE Pallas kernel
+    (_emit_kernel, bit-identical to the XLA chain — tested); elsewhere
+    the XLA chain stays (Pallas interpret would be slower on CPU)."""
     from . import wavelet
 
     nz, ny, nx = vol_shape
@@ -606,21 +827,29 @@ def _emit_and_scatter(M, e32, c32, vals_s, sv, Bx, scalefac, sub_block,
     nzp, nyp, nxp = nbz * bz, nby * by, nbx2 * bx
     cells = bx * by * bz
     nseg = Bx.shape[0]
-    emit, val, pos = _emit_values(
-        M, e32, c32, vals_s, sv, Bx, scalefac, cells
-    )
-    b = jnp.broadcast_to(
-        sub_block.reshape(nseg, SPS, 1), (nseg, SPS, W)
-    ).reshape(nseg, SEG)
-    bzi = b // (nby * nbx)
-    byi = (b // nbx) % nby
-    bxi = b % nbx
-    zl = pos // (by * bx)
-    yl = (pos // bx) % by
-    xl = pos % bx
-    tgt = ((bzi * bz + zl) * nyp + (byi * by + yl)) * nxp + bxi * bx + xl
     total = nzp * nyp * nxp
-    idx = jnp.where(emit, tgt, total).reshape(-1)
+    if on_tpu:
+        val, idxp, _total = _emit_values_pallas(
+            M, e32, c32, vals_s, sv, Bx, scalefac, sub_block,
+            vol_shape, block,
+        )
+        idx = idxp.reshape(-1)
+    else:
+        emit, val, pos = _emit_values(
+            M, e32, c32, vals_s, sv, Bx, scalefac, cells
+        )
+        b = jnp.broadcast_to(
+            sub_block.reshape(nseg, SPS, 1), (nseg, SPS, W)
+        ).reshape(nseg, SEG)
+        bzi = b // (nby * nbx)
+        byi = (b // nbx) % nby
+        bxi = b % nbx
+        zl = pos // (by * bx)
+        yl = (pos // bx) % by
+        xl = pos % bx
+        tgt = ((bzi * bz + zl) * nyp + (byi * by + yl)) * nxp \
+            + bxi * bx + xl
+        idx = jnp.where(emit, tgt, total).reshape(-1)
     out = jnp.zeros((total + 1,), jnp.float32)
     out = out.at[idx].set(val.reshape(-1), mode="drop")
     return out[:total].reshape(nzp * nyp, nxp)
