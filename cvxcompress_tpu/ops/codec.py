@@ -881,6 +881,45 @@ def _decode_and_inverse(segs, sub_block, sub_reset, scalefac, vol_shape,
     return wavelet.inverse_3d_volume(plane, vol_shape, block)
 
 
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nseg", "segw", "nsub", "nsf")
+)
+def _unbundle_plan(blob, nseg, segw, nsub, nsf):
+    """ONE h2d buffer -> (segs, sub_block, sub_reset, scalefac).
+
+    The four plan arrays upload as one concatenated u8 blob (four
+    separate device_puts each pay a tunnel round trip; one does not —
+    PCIe hosts save the same dispatches in microseconds)."""
+    o0 = nseg * segw
+    o1 = o0 + 4 * nsub
+    o2 = o1 + nsub
+    segs = blob[:o0].reshape(nseg, segw)
+    sub_block = jax.lax.bitcast_convert_type(
+        blob[o0:o1].reshape(nsub, 4), jnp.int32
+    )
+    sub_reset = blob[o1:o2] != 0
+    scalefac = jax.lax.bitcast_convert_type(
+        blob[o2 : o2 + 4 * nsf].reshape(nsf, 4), jnp.float32
+    )
+    return segs, sub_block, sub_reset, scalefac
+
+
+def _upload_plan(p):
+    segs = np.ascontiguousarray(p["segs"], dtype=np.uint8)
+    sb = np.ascontiguousarray(p["sub_block"], dtype=np.int32)
+    sr = np.ascontiguousarray(p["sub_reset"]).astype(np.uint8)
+    sf = np.ascontiguousarray(p["scalefac"], dtype=np.float32)
+    blob = np.concatenate([
+        segs.reshape(-1), sb.view(np.uint8), sr, sf.view(np.uint8)
+    ])
+    return _unbundle_plan(
+        jnp.asarray(blob), segs.shape[0], segs.shape[1], sb.shape[0],
+        sf.shape[0],
+    )
+
+
 def decompress_device(data, to_host=True):
     """Fully device-side decompress: entropy parse + inverse on the chip.
 
@@ -902,11 +941,11 @@ def decompress_device(data, to_host=True):
     hdr = p["hdr"]
     vol_shape = (hdr.nz, hdr.ny, hdr.nx)
     block = (hdr.bx, hdr.by, hdr.bz)
+    segs, sub_block, sub_reset, scalefac = _upload_plan(p)
     if p["raw_ids"].size:
         # rare: keep the staged path so the raw overlay can interpose
         plane = ed.decode_to_volume(
-            jnp.asarray(p["segs"]), jnp.asarray(p["sub_block"]),
-            jnp.asarray(p["sub_reset"]), jnp.asarray(p["scalefac"]),
+            segs, sub_block, sub_reset, scalefac,
             vol_shape, block, p["segs"].shape[0], use_pallas(),
         )
         plane = ed.overlay_raw(
@@ -916,8 +955,7 @@ def decompress_device(data, to_host=True):
         out = _inverse_volume_plane(plane, vol_shape, block)
         return np.asarray(out) if to_host else out
     out = _decode_and_inverse(
-        jnp.asarray(p["segs"]), jnp.asarray(p["sub_block"]),
-        jnp.asarray(p["sub_reset"]), jnp.asarray(p["scalefac"]),
+        segs, sub_block, sub_reset, scalefac,
         vol_shape, block, p["segs"].shape[0], use_pallas(),
     )
     return np.asarray(out) if to_host else out
