@@ -207,7 +207,9 @@ def bench_device_compress(vol, block, scale, rtt, iters=6):
                 return sub
 
     fetch1(full(vd[0]))  # compile
-    return per_iter_time(lambda j: full(vd[j % 2]), iters)
+    # reps=3: the tunnel drifts between seconds; best-of picks the
+    # clean moments (PERF_NOTES #22)
+    return per_iter_time(lambda j: full(vd[j % 2]), iters, reps=3)
 
 
 def bench_device_decompress(data, vol_shape, rtt, iters=6):
@@ -243,7 +245,7 @@ def bench_device_decompress(data, vol_shape, rtt, iters=6):
         )
 
     fetch1(run(segs[0]))
-    return per_iter_time(lambda j: run(segs[j % 2]), iters), t_plan
+    return per_iter_time(lambda j: run(segs[j % 2]), iters, reps=3), t_plan
 
 
 def bench_host_stream(vol, block, scale, n_vols=4, workers=6):
