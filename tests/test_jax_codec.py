@@ -577,3 +577,34 @@ def test_stripe_fused_random_quality(monkeypatch, rng):
     assert rel <= rel_base * 1.05 + 1e-12
     out2 = ocodec.decompress(data)  # f64 oracle inverse vs host f32
     assert np.abs(out2 - out).max() <= 1e-4 * np.abs(out).max()
+
+
+def test_caps_cache_overflow_repacks(monkeypatch, rng):
+    """A stream whose content jumps (low-entropy volume seeds small
+    cached caps, then a dense volume overflows them) must repack with
+    exact caps and still emit byte-identical containers to the
+    cache-free standard path."""
+    shape, block = (64, 96, 96), (32, 32, 32)
+    _interpret_kernels(monkeypatch)
+    monkeypatch.setattr(jcodec, "use_pallas", lambda: True)
+    monkeypatch.setenv("CVX_STRIPE", "1")
+    monkeypatch.setenv("CVX_STRIPE_FUSED", "0")
+
+    quiet = make_sinusoid_volume(*shape, periods=2) * 1e-3
+    dense = (rng.standard_normal(shape) * 500).astype(np.float32)
+
+    # cache-free references: exact caps from the counts readback
+    jcodec._CAPS_CACHE.clear()
+    ref_d, _ = jcodec.compress(dense, 1e-2, block=block)
+    jcodec._CAPS_CACHE.clear()
+    ref_q, _ = jcodec.compress(quiet, 1e-2, block=block)
+
+    # stream: quiet seeds tiny cached caps, dense MUST overflow + repack
+    jcodec._CAPS_CACHE.clear()
+    d_q, _ = jcodec.compress(quiet, 1e-2, block=block)
+    d_d, _ = jcodec.compress(dense, 1e-2, block=block)
+    d_q2, _ = jcodec.compress(quiet, 1e-2, block=block)  # shrinks again
+
+    np.testing.assert_array_equal(np.asarray(ref_q), np.asarray(d_q))
+    np.testing.assert_array_equal(np.asarray(ref_d), np.asarray(d_d))
+    np.testing.assert_array_equal(np.asarray(ref_q), np.asarray(d_q2))
