@@ -844,12 +844,13 @@ def stripe_fused_ok(vol_shape3, block):
 
 
 def _kernel_stripe_fused(v_ref, opz_ref, opy_ref, opxt_ref, ex_ref, sp_ref,
-                         mf_ref, fv_ref, desc_ref, cb_ref, sA, sB, *, geom,
-                         split):
+                         mf_ref, fv_ref, desc_ref, cb_ref, sA, sB, sy, *,
+                         geom, split):
     byi = pl.program_id(0)
     zt = pl.program_id(1)  # == bzi (one tile per block row)
     bx, by, zg, bz, nbx2, nby, cells = geom
     W = nbx2 * bx
+    Win = v_ref.shape[3]  # raw nx (x-only-pad variant) or W (padded)
 
     # NOTE round 3: composing z and y into ONE Kronecker (bz*by, bz*by)
     # row-mixing dot REGRESSED (13.0-14.3 ms vs 11.6-12.3 at the CI
@@ -859,20 +860,22 @@ def _kernel_stripe_fused(v_ref, opz_ref, opy_ref, opxt_ref, ex_ref, sp_ref,
     # per-slice loops stay.
     opz = opz_ref[:]
     opy = opy_ref[:]
-    a4 = v_ref[:, 0, :, :]  # (bz, by, W) raw padded volume slab
+    a4 = v_ref[:, 0, :, :]  # (bz, by, Win) volume slab
     for y in range(by):
         sA[y * bz : (y + 1) * bz, :] = mxu_dot3(opz, a4[:, y, :], split)
-    vA = sA[:].reshape(by, bz, W)
+    vA = sA[:].reshape(by, bz, Win)
     for z in range(bz):
         sB[z * by : (z + 1) * by, :] = mxu_dot3(opy, vA[:, z, :], split)
+    # the x operator is (Win, W): when Win < W its missing rows are the
+    # x-pad zeros, so phantom block-columns materialize only HERE — no
+    # padded copy of the whole volume is ever written (x-only-pad form)
     xw = mxu_dot3(sB[:], opxt_ref[:], split)
     fv = xw * mf_ref[:]  # (1, 1) or (1, W) broadcast (global / local mf)
 
     carry0 = jnp.full((1, ex_ref.shape[1]), -1.0, jnp.float32)
     nxt_row = jnp.zeros((1, W), I32) != 0  # block_end forces run_end
-    # sA is dead after the y pass — reuse it as the G8 slice scratch
     desc, cbrow, _carry = _tile_desc_stripe(
-        fv, nxt_row, carry0, zt, byi, geom, ex_ref[:], sp_ref[:], sy=sA
+        fv, nxt_row, carry0, zt, byi, geom, ex_ref[:], sp_ref[:], sy=sy
     )
     # NOTE round 3: emitting fv/desc directly in the thirds layout
     # ((.., T, 128) 5D out specs) to skip the XLA (R, W)->(R*T, 128)
@@ -905,10 +908,15 @@ def stripe_fused_tiles(vpad, glob_mulfac, vol_shape3, block,
     nbz, nby, nbx = -(-nz // bz), -(-ny // by), -(-nx // bx)
     nbx2 = wavelet.padded_nbx(nbx, bx)
     nzp, nyp, W = nbz * bz, nby * by, nbx2 * bx
-    assert vpad.shape == (nzp * nyp, W)
+    assert vpad.shape[0] == nzp * nyp and vpad.shape[1] in (nx, W)
     cells = bx * by * bz
     geom = (bx, by, bz, bz, nbx2, nby, cells)  # zg == bz
-    v4 = vpad.reshape(nzp, nby, by, W)
+    # x-only-pad variant: a RAW (nzp*nyp, nx) plane (z/y block-aligned
+    # volumes) is read directly — a block's lane dim may equal the
+    # array's full last dim regardless of 128-alignment — and the
+    # (nx, W) x operator adds the phantom columns in the kernel output
+    Win = vpad.shape[1]
+    v4 = vpad.reshape(nzp, nby, by, Win)
     TRS = bz * by
 
     NL = max(128, -(-nbx2 // 128) * 128)
@@ -920,7 +928,7 @@ def stripe_fused_tiles(vpad, glob_mulfac, vol_shape3, block,
     opz = wavelet._f32(wavelet.forward_matrix(bz)) if bz > 1 else \
         jnp.eye(max(bz, 1), dtype=jnp.float32)
     opy = wavelet._f32(wavelet.forward_matrix(by))
-    opxt = jnp.asarray(wavelet._blockdiag(bx, W, inverse=False).T)
+    opxt = jnp.asarray(wavelet._blockdiag(bx, W, inverse=False).T[:Win])
     mf = jnp.reshape(jnp.asarray(glob_mulfac, jnp.float32), (1, 1))
 
     def in_map(byi, zt):
@@ -935,12 +943,12 @@ def stripe_fused_tiles(vpad, glob_mulfac, vol_shape3, block,
         functools.partial(_kernel_stripe_fused, geom=geom, split=split),
         grid=(nby, nbz),
         in_specs=[
-            pl.BlockSpec((bz, 1, by, W), in_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bz, 1, by, Win), in_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((bz, bz), lambda byi, zt: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((by, by), lambda byi, zt: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((W, W), lambda byi, zt: (0, 0),
+            pl.BlockSpec((Win, W), lambda byi, zt: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((W, NL), lambda byi, zt: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -960,8 +968,9 @@ def stripe_fused_tiles(vpad, glob_mulfac, vol_shape3, block,
             jax.ShapeDtypeStruct((nzp, nby, by, NL), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((TRS, W), jnp.float32),  # z result + G8 slices
-            pltpu.VMEM((TRS, W), jnp.float32),
+            pltpu.VMEM((TRS, Win), jnp.float32),  # z result
+            pltpu.VMEM((TRS, Win), jnp.float32),  # y result
+            pltpu.VMEM((TRS, W), jnp.float32),    # G8 slice scratch
         ],
         # the whole-block-row tile plus _tile_desc_stripe's temporaries
         # exceed the 16M default scoped-vmem budget at W>=384 (measured
@@ -994,9 +1003,15 @@ def stripe_fused_encode(vol, glob_mulfac, vol_shape3, block,
     nbz, nby, nbx = -(-nz // bz), -(-ny // by), -(-nx // bx)
     nbx2 = wavelet.padded_nbx(nbx, bx)
     nzp, nyp, nxp2 = nbz * bz, nby * by, nbx2 * bx
-    vpad = jnp.pad(
-        vol, ((0, nzp - nz), (0, nyp - ny), (0, nxp2 - nx))
-    ).reshape(nzp * nyp, nxp2)
+    if nz == nzp and ny == nyp:
+        # z/y block-aligned (the common RTM shape): no padded copy of
+        # the volume at all — the kernel's (nx, W) x operator carries
+        # the x pad
+        vpad = vol.reshape(nzp * nyp, nx)
+    else:
+        vpad = jnp.pad(
+            vol, ((0, nzp - nz), (0, nyp - ny), (0, nxp2 - nx))
+        ).reshape(nzp * nyp, nxp2)
     fv, desc, cbrow = stripe_fused_tiles(
         vpad, glob_mulfac, vol_shape3, block, interpret=interpret
     )
