@@ -724,7 +724,10 @@ def _emit_kernel(bx_ref, ist_ref, ob_ref, sf_ref, blk_ref,
     tgt = ((bzi * bzz + zl) * nyp + (byi * byy + yl)) * nxp \
         + bxi * bxx + xl
     val_ref[:] = val
-    idx_ref[:] = jnp.where(emit, tgt, jnp.int32(total))
+    # dead entries go OUT of bounds (total+1 >= the (total+1,) scatter
+    # buffer) so mode="drop" discards them; routing them to an in-bounds
+    # dummy slot made ~2/3 of the scatter's writes collide on ONE element
+    idx_ref[:] = jnp.where(emit, tgt, jnp.int32(total + 1))
 
 
 def _emit_values_pallas(M, e32, c32, vals_s, sv_unused, Bx, scalefac,
@@ -849,9 +852,14 @@ def _emit_and_scatter(M, e32, c32, vals_s, sv, Bx, scalefac, sub_block,
         xl = pos % bx
         tgt = ((bzi * bz + zl) * nyp + (byi * by + yl)) * nxp \
             + bxi * bx + xl
-        idx = jnp.where(emit, tgt, total).reshape(-1)
+        idx = jnp.where(emit, tgt, total + 1).reshape(-1)
     out = jnp.zeros((total + 1,), jnp.float32)
-    out = out.at[idx].set(val.reshape(-1), mode="drop")
+    # live targets are UNIQUE for any validated container: the cursor is
+    # strictly increasing per emitted value within a block chain, each
+    # block id appears once in the offset table, and blocks own disjoint
+    # volume cells; dead entries are out of bounds and dropped.  Declaring
+    # uniqueness lets XLA skip collision handling on the scatter.
+    out = out.at[idx].set(val.reshape(-1), mode="drop", unique_indices=True)
     return out[:total].reshape(nzp * nyp, nxp)
 
 
@@ -882,9 +890,11 @@ def decode_to_blocks(segs, sub_block, sub_reset, scalefac, nblocks, block,
     ).reshape(nseg, SEG)
     total = nblocks * cells
     tgt = b * cells + pos
-    idx = jnp.where(emit, tgt, total).reshape(-1)
+    # dead -> out of bounds (dropped); live targets unique (see
+    # _emit_and_scatter)
+    idx = jnp.where(emit, tgt, total + 1).reshape(-1)
     out = jnp.zeros((total + 1,), jnp.float32)
-    out = out.at[idx].set(val.reshape(-1), mode="drop")
+    out = out.at[idx].set(val.reshape(-1), mode="drop", unique_indices=True)
     return out[:total].reshape(nblocks, cells)
 
 
@@ -913,5 +923,8 @@ def overlay_raw(plane, raw_rows, raw_ids, vol_shape, block):
     xl = pos % bx
     tgt = ((bzi * bz + zl) * nyp + (byi * by + yl)) * nxp + bxi * bx + xl
     flat = plane.reshape(-1)
-    flat = flat.at[tgt.reshape(-1)].set(raw_rows.reshape(-1), mode="drop")
+    # distinct blocks own disjoint volume cells -> targets are unique
+    flat = flat.at[tgt.reshape(-1)].set(
+        raw_rows.reshape(-1), mode="drop", unique_indices=True
+    )
     return flat.reshape(plane.shape)

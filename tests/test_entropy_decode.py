@@ -333,7 +333,9 @@ def test_emit_kernel_matches_xla_chain():
     yl = (pos // bx) % by
     xl = pos % bx
     tgt = ((bzi * bz + zl) * nyp + (byi * by + yl)) * nxp + bxi * bx + xl
-    idx_ref = np.asarray(jnp.where(emit, tgt, total))
+    # dead entries are OUT of bounds (total+1) so the scatter's
+    # mode="drop" discards them instead of colliding on a dummy slot
+    idx_ref = np.asarray(jnp.where(emit, tgt, total + 1))
     val_ref = np.asarray(jnp.where(emit, val, 0.0))
 
     kval, kidx, ktotal = ed._emit_values_pallas(
@@ -343,7 +345,7 @@ def test_emit_kernel_matches_xla_chain():
     assert ktotal == total
     kidx = np.asarray(kidx)
     kval = np.asarray(kval)
-    live = idx_ref != total
+    live = idx_ref != total + 1
     np.testing.assert_array_equal(kidx[live], idx_ref[live])
-    np.testing.assert_array_equal((kidx == total)[~live], True)
+    np.testing.assert_array_equal((kidx == total + 1)[~live], True)
     np.testing.assert_array_equal(kval[live], val_ref[live])
