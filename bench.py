@@ -44,6 +44,14 @@ if os.environ.get("JAX_PLATFORMS"):
 
     _jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+# persistent compile cache: the codec programs are large and remote-compile
+# through the tunnel (~20-40 s each, ~5 min for the full bench set); with
+# the cache warm the run spends its time measuring, not compiling
+import jax as _jax2  # noqa: E402
+
+_jax2.config.update("jax_compilation_cache_dir", "/tmp/cvx_jax_bench_cache")
+_jax2.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 BASELINE_ROUNDTRIP = 1660.0  # MC/s, harmonic mean of reference 2150/7303
 BASELINE_COMPRESS = 2150.0
 BASELINE_DECOMPRESS = 7303.0
