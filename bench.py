@@ -20,10 +20,19 @@ through this environment's tunneled TPU, per-call dispatch+fetch costs
 properties of the tunnel, not the framework or the chip (PERF_NOTES.md).
 The recurring HOST work per volume (container assembly on compress,
 segment planning on decompress) is measured separately and reported in
-`detail` (host_assembly_ms / host_plan_ms), as are the tunnel-bound
-host-path pipeline numbers.
+`detail` (host_assembly_ms / host_plan_ms).  The sustained stage streams
+volumes through the BATCHED stream APIs (pipeline.compress_batched /
+decompress_batched) with all host work charged.
 
-Usage: python bench.py [--quick] [--json-only]
+Evidence discipline (round-4 fix for the round-3 rc=124 timeout):
+  * a WALL-CLOCK BUDGET (--budget, default 300 s) gates every stage;
+    stages that would not fit are skipped and listed in detail.skipped
+  * partial results flush to BENCH_partial.json after every stage, so a
+    kill at any point still leaves a parseable record
+  * the final JSON line ALWAYS prints — even if a stage raised — with
+    whatever was measured (detail.error carries the failure)
+
+Usage: python bench.py [--quick] [--budget SECONDS] [--full]
 """
 
 from __future__ import annotations
@@ -45,8 +54,8 @@ if os.environ.get("JAX_PLATFORMS"):
     _jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 # persistent compile cache: the codec programs are large and remote-compile
-# through the tunnel (~20-40 s each, ~5 min for the full bench set); with
-# the cache warm the run spends its time measuring, not compiling
+# through the tunnel (~20-40 s each); with the cache warm the run spends
+# its time measuring, not compiling
 import jax as _jax2  # noqa: E402
 
 _jax2.config.update("jax_compilation_cache_dir", "/tmp/cvx_jax_bench_cache")
@@ -56,9 +65,45 @@ BASELINE_ROUNDTRIP = 1660.0  # MC/s, harmonic mean of reference 2150/7303
 BASELINE_COMPRESS = 2150.0
 BASELINE_DECOMPRESS = 7303.0
 
+PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_partial.json")
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+class Budget:
+    """Wall-clock budget: stages check in before starting."""
+
+    def __init__(self, total_s):
+        self.t0 = time.monotonic()
+        self.total = total_s
+        self.skipped = []
+
+    def elapsed(self):
+        return time.monotonic() - self.t0
+
+    def left(self):
+        return self.total - self.elapsed()
+
+    def admit(self, name, need_s):
+        """True if `name` fits in the remaining budget, else record skip."""
+        if self.left() >= need_s:
+            return True
+        self.skipped.append(name)
+        log(f"[budget] skip {name}: need ~{need_s:.0f}s, "
+            f"{self.left():.0f}s left")
+        return False
+
+
+def flush_partial(detail):
+    """Write the partial record after every stage (kill-safe evidence)."""
+    try:
+        with open(PARTIAL_PATH, "w") as f:
+            json.dump(detail, f)
+    except OSError:
+        pass
 
 
 def make_volume(nz, ny, nx, periods=10):
@@ -85,15 +130,11 @@ def measure_rtt():
     fetch1(f(z))
     fetch1(f(z))
     best = float("inf")
-    # best-of-9: a single slow tunnel sample here skews every derived
-    # per-volume time (the harness subtracts one RTT per timed loop — a
-    # 60 ms outlier once under-reported config-A compress by ~4.5 ms)
     for _ in range(9):
         t0 = time.perf_counter()
         fetch1(f(z))
         best = min(best, time.perf_counter() - t0)
     return best
-
 
 
 def loop_time(run, iters, reps=2):
@@ -127,7 +168,7 @@ def per_iter_time(run, iters, reps=2):
     return max(t2, 1e-9) / (2 * iters)  # upper bound, never nonsense
 
 
-def bench_device_compress(vol, block, scale, rtt, iters=6):
+def bench_device_compress(vol, block, scale, iters=6, reps=3):
     """Per-volume device time of the full compress pipeline (W+T+P jits)."""
     import jax
     import jax.numpy as jnp
@@ -217,10 +258,10 @@ def bench_device_compress(vol, block, scale, rtt, iters=6):
     fetch1(full(vd[0]))  # compile
     # reps=3: the tunnel drifts between seconds; best-of picks the
     # clean moments (PERF_NOTES #22)
-    return per_iter_time(lambda j: full(vd[j % 2]), iters, reps=3)
+    return per_iter_time(lambda j: full(vd[j % 2]), iters, reps=reps)
 
 
-def bench_device_decompress(data, vol_shape, rtt, iters=6):
+def bench_device_decompress(data, vol_shape, iters=6, reps=3):
     """Per-volume device time of the FULL decompress pipeline.
 
     Entropy parse (ops.entropy_decode) + scatter-expand + inverse wavelet,
@@ -253,15 +294,19 @@ def bench_device_decompress(data, vol_shape, rtt, iters=6):
         )
 
     fetch1(run(segs[0]))
-    return per_iter_time(lambda j: run(segs[j % 2]), iters, reps=3), t_plan
+    return per_iter_time(lambda j: run(segs[j % 2]), iters, reps=reps), t_plan
 
 
-def bench_host_stream(vol, block, scale, n_vols=4, workers=6):
-    """Pipelined host->container throughput (includes tunnel transfers)."""
+def bench_host_stream(vol, block, scale, n_vols=2, workers=6):
+    """Pipelined host->container throughput (includes tunnel transfers).
+
+    NOT in the default stage list: through this environment's tunnel the
+    h2d of raw volumes dominates (~80 s/vol recorded in BENCH_r03) — it
+    measures the tunnel, not the codec.  Opt-in via --full.
+    """
     from cvxcompress_tpu import pipeline
 
     vols = [vol * (1.0 + 1e-6 * j) for j in range(n_vols)]
-    # warm (compile + caches)
     next(pipeline.compress_stream([vol], scale, block, workers=1))
     t0 = time.perf_counter()
     res = list(pipeline.compress_stream(vols, scale, block, workers=workers))
@@ -269,50 +314,45 @@ def bench_host_stream(vol, block, scale, n_vols=4, workers=6):
     return el / n_vols, res[0]
 
 
-def bench_sustained(vol, block, scale, rtt, n_vols=8, workers=4):
+def bench_sustained(vol, block, scale, n_vols=8, batch=4):
     """Sustained roundtrip throughput INCLUDING the recurring host work.
 
-    Streams n_vols DEVICE-RESIDENT volumes through the full compress
-    (device pipeline + count/subrow readbacks + host container assembly)
-    and through the full decompress (host segment plan + h2d + device
-    entropy parse + inverse), with the per-volume host work overlapped
-    across volumes by worker threads — the measured counterpart of the
-    round-2 claim that host assembly/planning hides under the device
-    stream.  Volumes originate and reconstructions stay in HBM (the RTM
-    production shape); the tunnel's raw-volume transfer floor is not
-    charged to the codec.  Returns per-volume (compress_s, decompress_s).
+    Streams n_vols DEVICE-RESIDENT volumes through the BATCHED stream
+    APIs — the production RTM shape (volumes are born in HBM, containers
+    leave to host, reconstructions stay in HBM).  All recurring host work
+    (container assembly, segment planning, the one bundled d2h per batch)
+    is inside the timed region; nothing is subtracted.  Returns
+    per-volume (compress_s, decompress_s).
     """
-    import concurrent.futures as cf
-
     import jax
-    import jax.numpy as jnp
 
-    from cvxcompress_tpu.ops import codec as jcodec
+    from cvxcompress_tpu import pipeline
 
     vd = [jax.device_put(vol * (1.0 + 1e-6 * j)) for j in range(n_vols)]
     fetch1(vd[-1])
     # warm every compiled shape + host codepath
-    data0, _ = jcodec.compress(vd[0], scale, block=block)
-    out0 = jcodec.decompress_device(data0, to_host=False)
-    fetch1(out0)
+    datas0 = pipeline.compress_batched(vd[:batch], scale, block=block)
+    outs0 = pipeline.decompress_batched(datas0, to_host=False)
+    fetch1(outs0[-1])
 
-    @jax.jit
-    def probe_all(xs):
-        return sum(jnp.ravel(x)[0] for x in xs)
+    t0 = time.perf_counter()
+    datas = []
+    for i in range(0, n_vols, batch):
+        datas.extend(
+            d for d, _ in pipeline.compress_batched(
+                vd[i:i + batch], scale, block=block, with_ratio=True
+            )
+        )
+    t_c = (time.perf_counter() - t0) / n_vols
 
-    with cf.ThreadPoolExecutor(workers) as ex:
-        t0 = time.perf_counter()
-        datas = list(ex.map(
-            lambda v: jcodec.compress(v, scale, block=block)[0], vd
+    t0 = time.perf_counter()
+    outs = []
+    for i in range(0, n_vols, batch):
+        outs.extend(pipeline.decompress_batched(
+            datas[i:i + batch], to_host=False
         ))
-        t_c = (time.perf_counter() - t0) / n_vols
-
-        t0 = time.perf_counter()
-        outs = list(ex.map(
-            lambda d: jcodec.decompress_device(d, to_host=False), datas
-        ))
-        fetch1(probe_all(outs))  # one fetch, data-dependent on every output
-        t_d = max((time.perf_counter() - t0 - rtt) / n_vols, 1e-9)
+    fetch1(outs[-1])  # the stream's tail: everything before it is done
+    t_d = (time.perf_counter() - t0) / n_vols
     return t_c, t_d
 
 
@@ -347,26 +387,32 @@ def bench_snapshots(vol, block, scale, rtt, iters=6):
     return t_app, t_pop
 
 
-def bench_block_sweep(rtt):
+def bench_block_sweep(budget, detail):
     """Per-block-size perf: transform fwd/inv and codec roundtrip.
 
     The reference publishes transform fwd+inv MCells/s for 8^3..256^3
     (README.md:35-40, harness CvxCompress.cpp:803-891); this sweep
     records the TPU numbers side by side, plus full codec compress /
     decompress at each size on a 256^3 sinusoid.  Transforms are chained
-    K deep inside one jit (tunnel discipline).
+    K deep inside one jit (tunnel discipline).  Budget-gated per size and
+    flushed per size.
     """
     import jax
-    import jax.numpy as jnp
 
     from cvxcompress_tpu.ops import codec as jcodec
     from cvxcompress_tpu.ops import wavelet as dw
 
     K = 4
     r = np.random.default_rng(5)
-    sweep = {}
+    sweep = detail.setdefault("block_sweep", {})
+    sweep["reference_fwdinv_mcells_s"] = {
+        "8c": 25725, "16c": 34178, "32c": 22680,
+        "64c": 10934, "128c": 2962, "256c": 6661,
+    }
     vol = make_volume(256, 256, 256)
     for bs in (8, 16, 32, 64, 128, 256):
+        if not budget.admit(f"sweep_{bs}c", 35):
+            continue
         n = max(1, (1 << 26) // bs**3)
         x = jax.device_put(
             r.standard_normal((n, bs, bs, bs)).astype(np.float32)
@@ -395,14 +441,15 @@ def bench_block_sweep(rtt):
 
         block = (bs, bs, bs)
         data, _ = jcodec.compress(vol, 1e-2, block=block)
-        t_c = bench_device_compress(vol, block, 1e-2, rtt, iters=3)
-        t_d, _ = bench_device_decompress(data, vol.shape, rtt, iters=3)
+        t_c = bench_device_compress(vol, block, 1e-2, iters=3, reps=2)
+        t_d, _ = bench_device_decompress(data, vol.shape, iters=3, reps=2)
         entry["compress_mcells_s"] = round(vol.size / t_c / 1e6)
         entry["decompress_mcells_s"] = round(vol.size / t_d / 1e6)
         sweep[f"{bs}c"] = entry
         log(f"[sweep {bs:3}^3] fwd {tf} MC/s inv {ti} MC/s "
             f"compress {entry['compress_mcells_s']} "
             f"decompress {entry['decompress_mcells_s']}")
+        flush_partial(detail)
     return sweep
 
 
@@ -422,34 +469,79 @@ def bench_quality(vol, block, scale):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--json-only", action="store_true")
+    ap.add_argument("--budget", type=float, default=300.0,
+                    help="wall-clock budget in seconds (default 300)")
+    ap.add_argument("--full", action="store_true",
+                    help="also run the tunnel-bound host-stream stage")
     args = ap.parse_args()
 
+    budget = Budget(args.budget)
+    detail = {"budget_s": args.budget, "skipped": budget.skipped}
+    results = {}
+    err_msg = None
+    try:
+        run_stages(args, budget, detail, results)
+    except Exception as e:  # noqa: BLE001 — the JSON line must still print
+        import traceback
+
+        err_msg = f"{type(e).__name__}: {e}"
+        traceback.print_exc(file=sys.stderr)
+
+    detail["elapsed_s"] = round(budget.elapsed(), 1)
+    if err_msg:
+        detail["error"] = err_msg
+    detail["baseline"] = {
+        "reference_compress_mcells_s": BASELINE_COMPRESS,
+        "reference_decompress_mcells_s": BASELINE_DECOMPRESS,
+        "reference_roundtrip_mcells_s": BASELINE_ROUNDTRIP,
+        "north_star_compress_gcells_s": 5,
+        "north_star_decompress_gcells_s": 8,
+    }
+    a = results.get("A_ref_ci_32c", {})
+    c = a.get("device_compress_mcells_s")
+    d = a.get("device_decompress_mcells_s")
+    if c and d:
+        headline = 2.0 / (1.0 / c + 1.0 / d)
+    else:
+        headline = 0.0
+    out = {
+        "metric": "device_roundtrip_320x416x352_32c_scale1e-2",
+        "value": round(headline, 1),
+        "unit": "MCells/s",
+        "vs_baseline": round(headline / BASELINE_ROUNDTRIP, 3),
+        "detail": detail,
+    }
+    flush_partial(detail)
+    print(json.dumps(out), flush=True)
+
+
+def run_stages(args, budget, detail, results):
     import jax
 
     dev = jax.devices()[0]
     log("device:", dev)
     rtt = measure_rtt()
     log(f"tunnel RTT: {rtt*1e3:.1f} ms")
+    detail["tunnel_rtt_ms"] = round(rtt * 1e3, 1)
+    flush_partial(detail)
 
-    detail = {"tunnel_rtt_ms": round(rtt * 1e3, 1)}
-
-    # --- config A: reference CI config -------------------------------
     if args.quick:
         shape_a, block_a = (160, 192, 160), (32, 32, 32)
         shape_b, block_b = (256, 256, 256), (128, 128, 128)
-        iters, n_stream = 3, 2
+        iters, n_stream = 3, 4
     else:
         shape_a, block_a = (352, 416, 320), (32, 32, 32)
         shape_b, block_b = (384, 384, 384), (128, 128, 128)
-        iters, n_stream = 6, 4
+        iters, n_stream = 6, 8
 
     scale = 1e-2
-    results = {}
     for name, shape, block in (
         ("A_ref_ci_32c", shape_a, block_a),
         ("B_north_star_128c", shape_b, block_b),
     ):
+        # the headline (device A) always runs; B is budget-gated
+        if name != "A_ref_ci_32c" and not budget.admit(name, 60):
+            continue
         from cvxcompress_tpu.ops import codec as jcodec
 
         vol = make_volume(*shape)
@@ -465,31 +557,14 @@ def main():
                 f"quality bars FAILED: err={err:.3e} snr={snr:.1f}"
             )
 
-        t_c = bench_device_compress(vol, block, scale, rtt, iters)
-        t_d, t_plan = bench_device_decompress(data, shape, rtt, iters)
+        t_c = bench_device_compress(vol, block, scale, iters)
+        t_d, t_plan = bench_device_decompress(data, shape, iters)
         dev_c = ncells / t_c / 1e6
         dev_d = ncells / t_d / 1e6
         log(f"[{name}] device compress {t_c*1e3:.2f} ms = {dev_c:.0f} MC/s "
             f"(+{host_asm*1e3:.1f} ms host assembly); "
             f"decompress {t_d*1e3:.2f} ms = {dev_d:.0f} MC/s "
             f"(+{t_plan*1e3:.1f} ms host plan; entropy decode ON device)")
-
-        t_h, _ = bench_host_stream(vol, block, scale, n_vols=n_stream)
-        host_c = ncells / t_h / 1e6
-        log(f"[{name}] host-path pipelined compress {t_h*1e3:.0f} ms/vol = "
-            f"{host_c:.0f} MC/s (tunnel-bound)")
-
-        t_app, t_pop = bench_snapshots(vol, block, scale, rtt, iters)
-        snap_a, snap_p = ncells / t_app / 1e6, ncells / t_pop / 1e6
-        log(f"[{name}] snapshot stack append {snap_a:.0f} MC/s, "
-            f"reconstruct {snap_p:.0f} MC/s")
-
-        t_sc, t_sd = bench_sustained(
-            vol, block, scale, rtt, n_vols=2 * iters, workers=8
-        )
-        sus_c, sus_d = ncells / t_sc / 1e6, ncells / t_sd / 1e6
-        log(f"[{name}] sustained (host work included, {2*iters} vols): "
-            f"compress {sus_c:.0f} MC/s, decompress {sus_d:.0f} MC/s")
 
         results[name] = {
             "cells": int(ncells),
@@ -500,39 +575,47 @@ def main():
             "device_decompress_mcells_s": round(dev_d, 1),
             "host_assembly_ms": round(host_asm * 1e3, 2),
             "host_plan_ms": round(t_plan * 1e3, 2),
-            "host_pipelined_compress_mcells_s": round(host_c, 1),
-            "pipelined_sustained_compress_mcells_s": round(sus_c, 1),
-            "pipelined_sustained_decompress_mcells_s": round(sus_d, 1),
-            "snapshot_append_mcells_s": round(snap_a, 1),
-            "snapshot_reconstruct_mcells_s": round(snap_p, 1),
         }
+        detail[name] = results[name]
+        flush_partial(detail)
 
-    detail.update(results)
-    if not args.quick:
-        detail["block_sweep"] = bench_block_sweep(rtt)
-        detail["block_sweep"]["reference_fwdinv_mcells_s"] = {
-            "8c": 25725, "16c": 34178, "32c": 22680,
-            "64c": 10934, "128c": 2962, "256c": 6661,
-        }
-    detail["baseline"] = {
-        "reference_compress_mcells_s": BASELINE_COMPRESS,
-        "reference_decompress_mcells_s": BASELINE_DECOMPRESS,
-        "reference_roundtrip_mcells_s": BASELINE_ROUNDTRIP,
-        "north_star_compress_gcells_s": 5,
-        "north_star_decompress_gcells_s": 8,
-    }
+        if budget.admit(f"{name}_sustained", 45):
+            t_sc, t_sd = bench_sustained(
+                vol, block, scale, n_vols=n_stream, batch=max(2, n_stream // 2)
+            )
+            sus_c, sus_d = ncells / t_sc / 1e6, ncells / t_sd / 1e6
+            log(f"[{name}] sustained (host work included, {n_stream} vols, "
+                f"batched stream API): compress {sus_c:.0f} MC/s, "
+                f"decompress {sus_d:.0f} MC/s")
+            results[name]["pipelined_sustained_compress_mcells_s"] = round(
+                sus_c, 1
+            )
+            results[name]["pipelined_sustained_decompress_mcells_s"] = round(
+                sus_d, 1
+            )
+            flush_partial(detail)
 
-    a = results["A_ref_ci_32c"]
-    c, d = a["device_compress_mcells_s"], a["device_decompress_mcells_s"]
-    headline = 2.0 / (1.0 / c + 1.0 / d)
-    out = {
-        "metric": "device_roundtrip_320x416x352_32c_scale1e-2",
-        "value": round(headline, 1),
-        "unit": "MCells/s",
-        "vs_baseline": round(headline / BASELINE_ROUNDTRIP, 3),
-        "detail": detail,
-    }
-    print(json.dumps(out), flush=True)
+        if budget.admit(f"{name}_snapshots", 30):
+            t_app, t_pop = bench_snapshots(vol, block, scale, rtt, iters)
+            snap_a, snap_p = ncells / t_app / 1e6, ncells / t_pop / 1e6
+            log(f"[{name}] snapshot stack append {snap_a:.0f} MC/s, "
+                f"reconstruct {snap_p:.0f} MC/s")
+            results[name]["snapshot_append_mcells_s"] = round(snap_a, 1)
+            results[name]["snapshot_reconstruct_mcells_s"] = round(snap_p, 1)
+            flush_partial(detail)
+
+        if args.full and budget.admit(f"{name}_host_stream", 180):
+            t_h, _ = bench_host_stream(vol, block, scale, n_vols=2)
+            host_c = ncells / t_h / 1e6
+            log(f"[{name}] host-path pipelined compress {t_h*1e3:.0f} ms/vol"
+                f" = {host_c:.0f} MC/s (tunnel-bound)")
+            results[name]["host_pipelined_compress_mcells_s"] = round(
+                host_c, 1
+            )
+            flush_partial(detail)
+
+    if not args.quick and budget.admit("block_sweep", 40):
+        bench_block_sweep(budget, detail)
 
 
 if __name__ == "__main__":

@@ -66,3 +66,67 @@ def decompress_stream(containers, workers=6):
     input order.  At most workers+1 containers are in flight."""
     with _cf.ThreadPoolExecutor(workers) as ex:
         yield from _windowed(ex, _codec.decompress, containers, workers + 1)
+
+
+# ---------------------------------------------------------------------------
+# Batched stream APIs (round 4): the per-volume host round trips (one d2h
+# fetch per compress, one h2d + dispatch per decompress) dominate a
+# threaded stream through any high-latency host link — batching K volumes
+# into ONE fetch / ONE device program amortizes them K-fold.  These are
+# the production entry points for RTM snapshot sequences.
+# ---------------------------------------------------------------------------
+
+
+def compress_batched(volumes, scale, block=(32, 32, 32),
+                     use_local_rms=False, with_ratio=False):
+    """Compress a batch of same-shape volumes with ONE bundled d2h fetch.
+
+    Returns a list of containers (or (container, ratio) pairs when
+    `with_ratio`).  Containers are byte-identical to per-volume
+    compress().  Device-resident input volumes never leave HBM.
+    """
+    res = _codec.compress_many(
+        list(volumes), scale, block=block, use_local_rms=use_local_rms
+    )
+    return res if with_ratio else [d for d, _ in res]
+
+
+def decompress_batched(containers, to_host=True):
+    """Decompress a batch of same-geometry containers in ONE device program.
+
+    Returns volumes in input order (device arrays when `to_host=False` —
+    the RTM backward-pass shape).  Falls back to per-container decompress
+    for mixed geometries or degenerate containers.
+    """
+    containers = list(containers)
+    out = _codec.decompress_many(containers, to_host=to_host)
+    if out is None:
+        out = [_codec.decompress(d) for d in containers]
+    return out
+
+
+def _batches(items, batch):
+    buf = []
+    for it in items:
+        buf.append(it)
+        if len(buf) == batch:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
+
+
+def compress_stream_batched(volumes, scale, block=(32, 32, 32),
+                            use_local_rms=False, batch=4):
+    """Batched streaming compress: yields (container, ratio) in input
+    order, consuming the volume stream `batch` at a time."""
+    for chunk in _batches(volumes, batch):
+        yield from _codec.compress_many(
+            chunk, scale, block=block, use_local_rms=use_local_rms
+        )
+
+
+def decompress_stream_batched(containers, batch=4, to_host=True):
+    """Batched streaming decompress: yields volumes in input order."""
+    for chunk in _batches(containers, batch):
+        yield from decompress_batched(chunk, to_host=to_host)
