@@ -336,21 +336,17 @@ def bench_sustained(vol, block, scale, n_vols=8, batch=4):
     fetch1(outs0[-1])
 
     t0 = time.perf_counter()
-    datas = []
-    for i in range(0, n_vols, batch):
-        datas.extend(
-            d for d, _ in pipeline.compress_batched(
-                vd[i:i + batch], scale, block=block, with_ratio=True
-            )
+    datas = [
+        d for d, _ in pipeline.compress_stream_batched(
+            vd, scale, block=block, batch=batch
         )
+    ]
     t_c = (time.perf_counter() - t0) / n_vols
 
     t0 = time.perf_counter()
-    outs = []
-    for i in range(0, n_vols, batch):
-        outs.extend(pipeline.decompress_batched(
-            datas[i:i + batch], to_host=False
-        ))
+    outs = list(pipeline.decompress_stream_batched(
+        datas, batch=batch, to_host=False
+    ))
     fetch1(outs[-1])  # the stream's tail: everything before it is done
     t_d = (time.perf_counter() - t0) / n_vols
     return t_c, t_d

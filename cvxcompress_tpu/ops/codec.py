@@ -517,6 +517,23 @@ def _sumsq_dev(vol):
     return jnp.sum(jnp.square(vol))
 
 
+@jax.jit
+def _mulfac_dev(vol, scale):
+    """Global mulfac computed ON DEVICE — no host round trip per volume.
+
+    f32 Σx² + f32 sqrt with the Inf/0 guards of compute_glob_mulfac
+    (CvxCompress.cpp:291-295).  Device-resident volumes already deviate
+    from the host f64-accumulation contract by ~1 ulp of RMS (documented
+    in compress()); the f32 sqrt adds at most one more ulp.  The header
+    value returns to the host inside the output bundle (mf[0]), so the
+    whole compress path has exactly ONE d2h fetch."""
+    ss = jnp.sum(jnp.square(vol))
+    rms = jnp.sqrt(ss / vol.size)
+    mf = jnp.float32(1.0) / (rms * jnp.float32(scale))
+    ok = (rms != 0.0) & jnp.isfinite(mf)
+    return jnp.where(ok, mf, jnp.float32(1.0))
+
+
 @functools.partial(jax.jit, static_argnames=("block", "chunk"))
 def _raw_chunks(vol, block, chunk):
     """Unscaled coefficient chunks (raw-fallback payload source, rare)."""
@@ -537,21 +554,20 @@ def _prep_vol(vol):
     return np.ascontiguousarray(vol, dtype=F32)
 
 
-def _prep_mulfac(vol, scale, use_local_rms, glob_mulfac, sumsq_h=None):
+def _prep_mulfac(vol, scale, use_local_rms, glob_mulfac):
     """Resolve the global quantization factor for one prepared volume.
 
-    `sumsq_h` is the already-fetched device f32 Σx² (compress_many batches
-    these fetches); without it a device volume pays one scalar fetch here.
+    Host volumes use the exact reference contract (f64-accumulated RMS,
+    Compute_Global_RMS, CvxCompress.cpp:73-117).  DEVICE volumes return a
+    device f32 scalar with NO host round trip (_mulfac_dev) — the header
+    value comes back inside the output bundle.
     """
     if use_local_rms:
         return F32(1.0)
     if glob_mulfac is not None:
         return F32(glob_mulfac)
     if isinstance(vol, jax.Array):
-        if sumsq_h is None:
-            sumsq_h = _sumsq_dev(vol)
-        rms = np.float32(np.sqrt(np.float64(sumsq_h) / vol.size))
-        return ctn.compute_glob_mulfac(rms, scale)
+        return _mulfac_dev(vol, scale)
     return ctn.compute_glob_mulfac(quant.global_rms_host(vol), scale)
 
 
@@ -603,7 +619,7 @@ def _compress_stage(vol, scale, block, use_local_rms, glob_mulfac):
         subrows, aidx, abytes = rle_device.pack_compacted(
             fvc, dscc, meta, counts[0], acap, lcap
         )
-        ctx.update(seg=False, gcfg=None, caps=None, do_pack=None,
+        ctx.update(seg=False, gcfg=None, caps=None, repack=None,
                    acount=acount)
     else:
         coeff_chunks, desc, chunk_bytes, sizes, raw, counts, mf, gcfg = (
@@ -614,27 +630,27 @@ def _compress_stage(vol, scale, block, use_local_rms, glob_mulfac):
         )
         seg = bool(gcfg and gcfg.get("seg"))
 
-        def do_pack(caps):
+        def do_pack(ck, dsc, cb, g, caps):
             if seg:
                 # stripe SEGMENT pack: 128-lane thirds-view row gathers,
                 # per-segment staging kernel, subrow squeeze
-                shape3, blk3 = gcfg["plane_geom"]
+                shape3, blk3 = g["plane_geom"]
                 return rle_device.pack_active_stripe_seg(
-                    coeff_chunks.reshape(-1, 128), desc.reshape(-1, 128),
-                    gcfg["cbrow"], gcfg["raw_dev"],
+                    ck.reshape(-1, 128), dsc.reshape(-1, 128),
+                    g["cbrow"], g["raw_dev"],
                     caps[0], caps[1], caps[2], (shape3, blk3),
                 )
-            pgeom = gcfg.get("plane_geom") if gcfg else None
+            pgeom = g.get("plane_geom") if g else None
             return rle_device.pack_active(
-                coeff_chunks, desc, chunk_bytes, caps[0], caps[1],
+                ck, dsc, cb, caps[0], caps[1],
                 skip_squeeze=caps[2],
                 row_of_chunk=(
-                    None if pgeom else (gcfg["row_of_chunk"] if gcfg else None)
+                    None if pgeom else (g["row_of_chunk"] if g else None)
                 ),
                 desc_row_of_chunk=(
-                    gcfg["desc_row_of_chunk"] if gcfg and not pgeom else None
+                    g["desc_row_of_chunk"] if g and not pgeom else None
                 ),
-                nchunks_override=gcfg["nchunks"] if gcfg else None,
+                nchunks_override=g["nchunks"] if g else None,
                 plane_geom=pgeom,
             )
 
@@ -647,14 +663,38 @@ def _compress_stage(vol, scale, block, use_local_rms, glob_mulfac):
             # provisional entry so the REST of a first batch skips the
             # counts fetch too (finish() refines it from actual counts)
             _CAPS_CACHE[cap_key] = caps
-        subrows, aidx, abytes = do_pack(caps)
-        ctx.update(seg=seg, gcfg=gcfg, caps=caps, do_pack=do_pack,
+
+        def repack(caps2):
+            """Rare cap-overflow path: RECOMPUTE the encode and repack.
+
+            Recomputing (~one extra device pipeline) keeps the ctx from
+            pinning the full-size coefficient/descriptor planes in HBM
+            between stage and finish — the pipelined stream holds a
+            whole lookahead batch of ctxs alive, and only the small
+            output bundles may persist."""
+            (ck2, dsc2, cb2, sizes2, raw2, counts2, mf2, g2) = (
+                _encode_device(
+                    jnp.asarray(vol), jnp.float32(glob_mulfac),
+                    jnp.float32(scale), use_local_rms, block, chunk,
+                )
+            )
+            sub2, ai2, ab2 = do_pack(ck2, dsc2, cb2, g2, caps2)
+            blob2 = np.asarray(_bundle_outputs(
+                sub2, ai2, ab2, sizes2, raw2, counts2, mf2
+            ))
+            return blob2, (
+                tuple(sub2.shape), int(ai2.shape[0]), int(ab2.shape[0])
+            )
+
+        subrows, aidx, abytes = do_pack(
+            coeff_chunks, desc, chunk_bytes, gcfg, caps
+        )
+        ctx.update(seg=seg, gcfg=gcfg, caps=caps, repack=repack,
                    cap_key=cap_key)
 
     bundle = _bundle_outputs(subrows, aidx, abytes, sizes, raw, counts, mf)
     ctx.update(
         bundle=bundle,
-        small_dev=(sizes, raw, counts, mf),
         shapes={
             "subrows": tuple(subrows.shape), "na": int(aidx.shape[0]),
             "nb": int(abytes.shape[0]), "n": int(sizes.shape[0]),
@@ -687,14 +727,10 @@ def _compress_finish(ctx, blob_h):
             # the stream's content jumped past the cached caps: repack
             # with exact caps (correctness never depends on the cache)
             caps = _derive_caps(counts_h, seg)
-            subrows, aidx, abytes = ctx["do_pack"](caps)
-            sizes, raw, counts, mf = ctx["small_dev"]
-            blob2 = np.asarray(_bundle_outputs(
-                subrows, aidx, abytes, sizes, raw, counts, mf
-            ))
+            blob2, (sub_shape, na2, nb2) = ctx["repack"](caps)
             sh2 = dict(ctx["shapes"])
-            sh2["subrows"] = tuple(subrows.shape)
-            sh2["na"], sh2["nb"] = int(aidx.shape[0]), int(abytes.shape[0])
+            sh2["subrows"] = sub_shape
+            sh2["na"], sh2["nb"] = na2, nb2
             (subrows_h, aidx_h, abytes_h, sizes_h, raw_h, counts_h,
              mf_h) = _split_blob(blob2, sh2)
         _CAPS_CACHE[ctx["cap_key"]] = _derive_caps(counts_h, seg)
@@ -729,6 +765,7 @@ def _compress_finish(ctx, blob_h):
         stream, _total = rle_device.assemble_payload_segments(
             subrows_h, aidx_h, abytes_h, acount,
             sizes_h, raw_h, raw_bytes_h, cells, (bx, by, bz), (nz, ny, nx),
+            packed_meta=rle_device.seg_meta_packed(gcfg["plane_geom"]),
         )
     else:
         assemble = (
@@ -741,8 +778,12 @@ def _compress_finish(ctx, blob_h):
             sizes_h, raw_h, raw_bytes_h, cells, chunk,
         )
 
-    hdr = ctn.Header(nx, ny, nz, bx, by, bz, ctx["glob_mulfac"],
-                     ctx["use_local"])
+    gmf = ctx["glob_mulfac"]
+    if isinstance(gmf, jax.Array):
+        # device-computed mulfac: the f32 value rode the bundle (mf is a
+        # broadcast of it in global mode; local mode never lands here)
+        gmf = F32(mf_h[0])
+    hdr = ctn.Header(nx, ny, nz, bx, by, bz, gmf, ctx["use_local"])
     data = ctn.pack_stream(
         hdr, sizes_h, raw_h, stream,
         mf_h if ctx["use_local"] else None,
@@ -762,9 +803,10 @@ def compress(vol, scale, block=(32, 32, 32), use_local_rms=False,
 
     `vol` may be a DEVICE array (jax.Array): the volume then never leaves
     HBM — the production RTM shape, where snapshots are born on the chip.
-    Global RMS is computed on device in that case (the host-f64 contract
-    would need a full d2h; the device f32 sum matches it to ~1 ulp of
-    RMS — the same documented deviation as the snapshot stack).
+    The global RMS and mulfac are then computed ON DEVICE (_mulfac_dev)
+    so the whole compress makes exactly ONE d2h fetch; the f32 math
+    deviates from the host f64-accumulation contract by ~1 ulp of RMS
+    (the same documented deviation as the snapshot stack).
     """
     vol = _prep_vol(vol)
     glob_mulfac = _prep_mulfac(vol, scale, use_local_rms, glob_mulfac)
@@ -780,9 +822,9 @@ def compress_many(vols, scale, block=(32, 32, 32), use_local_rms=False,
     The K device pipelines dispatch back to back and EVERYTHING returns
     in one bundled d2h fetch (per-volume fetches each pay a full host
     round trip — the dominant cost of round 3's sustained stream,
-    BENCH_dev_r03).  Device-resident volumes' Σx² fetches batch the same
-    way.  Containers are byte-identical to per-volume compress() — same
-    programs, same sticky caps.
+    BENCH_dev_r03).  Device-resident volumes' mulfacs are computed on
+    device (no fetch at all).  Containers are byte-identical to
+    per-volume compress() — same programs, same sticky caps.
 
     `glob_mulfacs` (optional, len K) overrides the per-volume global
     quantization factors (the sharded layer's contract).
@@ -792,21 +834,11 @@ def compress_many(vols, scale, block=(32, 32, 32), use_local_rms=False,
         return []
     if glob_mulfacs is None:
         glob_mulfacs = [None] * len(vols)
-    # batch the device Σx² fetches: K scalars, ONE round trip
-    need_ss = [
-        isinstance(v, jax.Array) and not use_local_rms and m is None
-        for v, m in zip(vols, glob_mulfacs)
-    ]
-    ss_h = {}
-    if any(need_ss):
-        idxs = [i for i, f in enumerate(need_ss) if f]
-        stacked = np.asarray(
-            jnp.stack([_sumsq_dev(vols[i]) for i in idxs])
-        )
-        ss_h = {i: stacked[j] for j, i in enumerate(idxs)}
+    # device volumes' mulfacs stay ON DEVICE (_mulfac_dev) — zero round
+    # trips; host volumes keep the f64 reference contract
     mfs = [
-        _prep_mulfac(v, scale, use_local_rms, m, sumsq_h=ss_h.get(i))
-        for i, (v, m) in enumerate(zip(vols, glob_mulfacs))
+        _prep_mulfac(v, scale, use_local_rms, m)
+        for v, m in zip(vols, glob_mulfacs)
     ]
     ctxs = [
         _compress_stage(v, scale, block, use_local_rms, m)
@@ -1164,14 +1196,27 @@ def decompress_many(datas, to_host=True):
     container is degenerate or geometries differ (caller falls back to
     per-volume decompress).
     """
-    from . import entropy_decode as ed
-
     k = len(datas)
     if k == 0:
         return []
     if k == 1:
         out = decompress_device(datas[0], to_host=to_host)
         return None if out is None else [out]
+    vols = _decompress_many_stage(datas)
+    if vols is None:
+        return None
+    if to_host:
+        vh = np.asarray(vols)  # ONE d2h for the whole batch
+        return [vh[i] for i in range(k)]
+    return [vols[i] for i in range(k)]
+
+
+def _decompress_many_stage(datas):
+    """Dispatch the batched decode; returns the (K, nz, ny, nx) DEVICE
+    array (no sync), or None for degenerate/mixed-geometry inputs."""
+    from . import entropy_decode as ed
+
+    k = len(datas)
     plans = [ed.plan(d, reuse_staging=False) for d in datas]
     if any(p is None for p in plans):
         return None
@@ -1204,11 +1249,7 @@ def decompress_many(datas, to_host=True):
             segs_d, sb_d, sr_d, sf_d, vol_shape_stack, block, nseg_cap,
             use_pallas(),
         )
-    vols = _split_stack(stacked, k, nzp, nz)
-    if to_host:
-        vh = np.asarray(vols)  # ONE d2h for the whole batch
-        return [vh[i] for i in range(k)]
-    return [vols[i] for i in range(k)]
+    return _split_stack(stacked, k, nzp, nz)
 
 
 def decompress(data, engine="auto"):

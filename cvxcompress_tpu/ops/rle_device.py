@@ -518,6 +518,22 @@ def pack_active(fv_chunks, desc, chunk_bytes, acap, lcap,
     return _subrow_squeeze(packed, abytes, acap, lcap, chunk, aidx)
 
 
+def seg_meta_packed(plane_geom):
+    """True when a live subrow's (segment id, live bytes) bit-pack into
+    ONE i32 (sid * 128 + blive; blive <= SUBROW < 128).  Needs
+    sid < 2^24 — true for any volume below ~16.7M stripe segments;
+    larger geometries fall back to the two-row metadata.  Halving the
+    per-subrow metadata matters because it DOMINATES the compress d2h at
+    high ratios (config A: 459 KB of metadata around a 163 KB payload,
+    measured round 4)."""
+    (nz, ny, nx), (bx, by, bz) = plane_geom
+    from . import wavelet as _wav
+
+    nbz, nby, nbx = -(-nz // bz), -(-ny // by), -(-nx // bx)
+    nbx2 = _wav.padded_nbx(nbx, bx)
+    return nbz * bz * nby * by * nbx2 <= (1 << 24)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("tcap", "lcap", "bcap", "plane_geom"),
@@ -615,6 +631,11 @@ def pack_active_stripe_seg(fv3, d3, cbrow, raw, tcap, lcap, bcap,
     lsb = _fit(jnp.where(live, packed2[0][2], 0), lcap)
     blive = _fit(jnp.where(live, packed2[0][3], 0), lcap)
     subrows = jnp.take(packed.reshape(nsr, SUBROW), lidx, axis=0)
+    if seg_meta_packed(plane_geom):
+        # one i32 per live subrow (sid:24 bits, blive:7) — the host
+        # derives segment byte counts as reduceat sums of blive
+        lsid = jnp.where(lsid >= 0, lsid * 128 + blive, -1)
+        lsb = jnp.zeros((1,), I32)
 
     # byte-compact the 32 B-granular subrow staging into the DENSE
     # payload stream (round 3): segments average a few bytes, so the
@@ -676,28 +697,36 @@ def stripe_seg_counts(cbrow, raw, vol_shape3, blk):
 
 
 def assemble_payload_segments(subrows_h, lsid_h, lsb_h, slcount, sizes_h,
-                              raw_h, raw_bytes_h, cells, blk, vol_shape3):
+                              raw_h, raw_bytes_h, cells, blk, vol_shape3,
+                              packed_meta=False):
     """Host: ragged concat from per-SUBROW metadata (stripe seg path).
 
     `lsid_h`/`lsb_h` carry each live subrow's owning segment id and that
     segment's byte count (pack_active_stripe_seg); a segment's subrows
     are consecutive, so segment spans fall out of where lsid changes.
-    Segments arrive in stripe-row-major order (r-major, then block
-    column); the container needs block order.  A stable argsort by block
-    id groups them while preserving the within-block (z, y) row order —
-    everything here is ∝ live segments (∝ compressed size).
+    With `packed_meta` (seg_meta_packed geometries) lsid_h instead holds
+    sid*128 + blive per subrow and lsb_h is unused — segment byte counts
+    are reduceat sums of the live-byte field.  Segments arrive in
+    stripe-row-major order (r-major, then block column); the container
+    needs block order.  A stable argsort by block id groups them while
+    preserving the within-block (z, y) row order — everything here is
+    ∝ live segments (∝ compressed size).
     """
     sizes = np.asarray(sizes_h, dtype=np.int64)
     raw = np.asarray(raw_h, dtype=bool)
     lsid = np.asarray(lsid_h[:slcount], dtype=np.int64)
-    lsb = np.asarray(lsb_h[:slcount], dtype=np.int64)
+    if packed_meta:
+        blv = lsid & 127
+        lsid >>= 7
+    else:
+        lsb = np.asarray(lsb_h[:slcount], dtype=np.int64)
     if slcount:
         first = np.empty(slcount, dtype=bool)
         first[0] = True
         np.not_equal(lsid[1:], lsid[:-1], out=first[1:])
         starts = np.flatnonzero(first)
         sid = lsid[starts]
-        sb = lsb[starts]
+        sb = np.add.reduceat(blv, starts) if packed_meta else lsb[starts]
     else:
         starts = np.empty(0, np.int64)
         sid = np.empty(0, np.int64)
