@@ -761,11 +761,15 @@ def _compress_finish(ctx, blob_h):
 
     global last_host_assembly_s
     t0 = _time.perf_counter()
-    if seg:
+    if seg and rle_device.seg_block_order_ok(gcfg["plane_geom"]):
+        # default: the device stream is already in container block order
+        stream, _total = rle_device.assemble_payload_blockorder(
+            subrows_h, sizes_h, raw_h, raw_bytes_h, cells,
+        )
+    elif seg:
         stream, _total = rle_device.assemble_payload_segments(
             subrows_h, aidx_h, abytes_h, acount,
             sizes_h, raw_h, raw_bytes_h, cells, (bx, by, bz), (nz, ny, nx),
-            packed_meta=rle_device.seg_meta_packed(gcfg["plane_geom"]),
         )
     else:
         assemble = (

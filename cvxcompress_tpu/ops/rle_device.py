@@ -518,20 +518,26 @@ def pack_active(fv_chunks, desc, chunk_bytes, acap, lcap,
     return _subrow_squeeze(packed, abytes, acap, lcap, chunk, aidx)
 
 
-def seg_meta_packed(plane_geom):
-    """True when a live subrow's (segment id, live bytes) bit-pack into
-    ONE i32 (sid * 128 + blive; blive <= SUBROW < 128).  Needs
-    sid < 2^24 — true for any volume below ~16.7M stripe segments;
-    larger geometries fall back to the two-row metadata.  Halving the
-    per-subrow metadata matters because it DOMINATES the compress d2h at
-    high ratios (config A: 459 KB of metadata around a 163 KB payload,
-    measured round 4)."""
+def seg_block_order_ok(plane_geom):
+    """True when the stripe seg pack can emit the payload in CONTAINER
+    BLOCK ORDER on device (pack_active_stripe_seg's argsort path): the
+    per-subrow sort key borank*spseg + spi must fit i32.  False only for
+    volumes beyond ~2^30 subrow slots (~6.8 G cells at 32³ blocks —
+    past single-chip HBM; the sharded layer splits those), which use the
+    per-subrow-metadata path + host reorder instead.
+
+    Block-order emission exists because per-subrow metadata DOMINATED
+    the compress d2h at high ratios (config A: 459 KB of metadata
+    around a 163 KB payload; the tunnel moves computed buffers at
+    ~24 MB/s, so metadata alone cost ~10 ms/vol — measured round 4)."""
     (nz, ny, nx), (bx, by, bz) = plane_geom
     from . import wavelet as _wav
 
     nbz, nby, nbx = -(-nz // bz), -(-ny // by), -(-nx // bx)
     nbx2 = _wav.padded_nbx(nbx, bx)
-    return nbz * bz * nby * by * nbx2 <= (1 << 24)
+    pitch = -(-5 * bx // SUBROW) * SUBROW
+    spseg = pitch // SUBROW
+    return nbz * bz * nby * by * nbx2 * spseg < (1 << 30)
 
 
 @functools.partial(
@@ -556,16 +562,22 @@ def pack_active_stripe_seg(fv3, d3, cbrow, raw, tcap, lcap, bcap,
     eagerly); cbrow (R, NL) per-(row, block-column) byte counts from the
     stripe tokenize kernel; raw (nnn,) bool.  tcap/lcap: host-chosen
     buckets for live thirds / live subrows (from the stripe counts
-    readback).  Returns (stream (bcap,) u8 — the DENSE payload bytes in
-    stripe-row-major segment order, lsid (lcap,) the owning global
-    segment id per live subrow, lsb (lcap,) that segment's byte
-    count) — per-SUBROW metadata: the round-3 merge of
-    the separate per-segment compaction into the subrow compaction (two
-    chained log-shift compactions cost ~1.2 ms of small-op launches at
-    the CI config; one chain carrying three rows is cheaper).  The host
-    derives segment spans from where lsid changes
-    (assemble_payload_segments).  Subrows arrive in stripe-row-major
-    segment order (NOT block order; assembly reorders).
+    readback).
+
+    Default (seg_block_order_ok geometries): the DENSE payload stream
+    comes out in CONTAINER BLOCK ORDER — each segment's block-order rank
+    is a closed-form function of its (row, block-column) coordinates, so
+    the live subrows sort by that key (argsort of lcap i32 keys: ~0.1 ms
+    at 64 k, measured round 4) BEFORE the byte compaction.  The host
+    then needs NO per-subrow metadata at all (the bundle's per-block
+    sizes locate every block), which deletes ~60% of the compress d2h at
+    high compression ratios.  Returns (stream (bcap,) u8, (1,) dummy,
+    (1,) dummy).
+
+    Fallback (giant volumes whose sort key would overflow i32): stream
+    in stripe-row-major segment order plus per-SUBROW metadata lsid/lsb
+    (owning segment id / its byte count); the host groups segments by
+    block with a stable argsort (assemble_payload_segments).
     """
     from . import pack_pallas, wavelet as _wav
 
@@ -599,9 +611,7 @@ def pack_active_stripe_seg(fv3, d3, cbrow, raw, tcap, lcap, bcap,
 
     packed = pack_pallas.pack_staging_seg(gf, gd, bx).astype(U8)
 
-    # ONE compaction over the subrow domain carries the subrow index AND
-    # its owner segment's (id, bytes) — sid can exceed 2^22 at large
-    # volumes, so it rides as its own row rather than bit-packed
+    block_order = seg_block_order_ok(plane_geom)
     sb_flat = gcb.reshape(tcap * rpc)
     sid_flat = (tidx[:, None] * rpc
                 + jnp.arange(rpc, dtype=I32)[None, :]).reshape(tcap * rpc)
@@ -614,9 +624,31 @@ def pack_active_stripe_seg(fv3, d3, cbrow, raw, tcap, lcap, bcap,
     sub_bytes = jnp.clip(
         sb_flat[:, None] - spi * SUBROW, 0, SUBROW
     ).reshape(nsr)  # live bytes within each subrow
+    if block_order:
+        # CLOSED-FORM container rank of each segment: sid encodes
+        # (r, g) = (z-slice-major row, padded block column); the
+        # container orders blocks by (zb, yb, g) and a block's payload
+        # by (dz, dy) (CvxCompress.cpp:302,321-328 — x fastest block id,
+        # per-block stream in scan order).  Phantom columns (g >= nbx)
+        # and raw blocks never have live subrows, so ranking with nbx2
+        # strides preserves the container's relative order.
+        nyp = nby * by
+        r_of = sid_flat // nbx2
+        g_of = sid_flat % nbx2
+        zsl, yy = r_of // nyp, r_of % nyp
+        zb_of, dz_of = zsl // bz, zsl % bz
+        yb_of, dy_of = yy // by, yy % by
+        borank = (((zb_of * nby + yb_of) * nbx2 + g_of) * bz + dz_of) \
+            * by + dy_of
+        meta_row = borank * spseg  # + spi per subrow slot below
+    else:
+        meta_row = sid_flat
+    # ONE compaction over the subrow domain carries the subrow index,
+    # the sort key (or segment id), and the subrow's live bytes
+    key2d = meta_row[:, None] + (spi if block_order else 0)
     stacked = jnp.stack([
         jnp.arange(nsr, dtype=I32),
-        jnp.broadcast_to(sid_flat[:, None], (tcap * rpc, spseg)).reshape(nsr),
+        jnp.broadcast_to(key2d, (tcap * rpc, spseg)).reshape(nsr),
         jnp.broadcast_to(sb_flat[:, None], (tcap * rpc, spseg)).reshape(nsr),
         sub_bytes,
     ])
@@ -627,15 +659,19 @@ def pack_active_stripe_seg(fv3, d3, cbrow, raw, tcap, lcap, bcap,
     lcount = count2[0]
     live = jnp.arange(nsr, dtype=I32) < lcount
     lidx = _fit(jnp.where(live, packed2[0][0], 0), lcap)
-    lsid = _fit(jnp.where(live, packed2[0][1], -1), lcap, fill=-1)
-    lsb = _fit(jnp.where(live, packed2[0][2], 0), lcap)
     blive = _fit(jnp.where(live, packed2[0][3], 0), lcap)
-    subrows = jnp.take(packed.reshape(nsr, SUBROW), lidx, axis=0)
-    if seg_meta_packed(plane_geom):
-        # one i32 per live subrow (sid:24 bits, blive:7) — the host
-        # derives segment byte counts as reduceat sums of blive
-        lsid = jnp.where(lsid >= 0, lsid * 128 + blive, -1)
+    if block_order:
+        imax = jnp.iinfo(I32).max
+        key = _fit(jnp.where(live, packed2[0][1], imax), lcap, fill=imax)
+        perm = jnp.argsort(key)  # dead rows (key=i32max) sort last
+        lidx = jnp.take(lidx, perm)
+        blive = jnp.take(blive, perm)
+        lsid = jnp.zeros((1,), I32)
         lsb = jnp.zeros((1,), I32)
+    else:
+        lsid = _fit(jnp.where(live, packed2[0][1], -1), lcap, fill=-1)
+        lsb = _fit(jnp.where(live, packed2[0][2], 0), lcap)
+    subrows = jnp.take(packed.reshape(nsr, SUBROW), lidx, axis=0)
 
     # byte-compact the 32 B-granular subrow staging into the DENSE
     # payload stream (round 3): segments average a few bytes, so the
@@ -696,37 +732,69 @@ def stripe_seg_counts(cbrow, raw, vol_shape3, blk):
     return jnp.stack([tcount, scount, slcount, pbytes])
 
 
+def assemble_payload_blockorder(stream_h, sizes_h, raw_h, raw_bytes_h,
+                                cells):
+    """Host: container payload from a BLOCK-ORDERED device stream.
+
+    The seg pack's default path (seg_block_order_ok) emits the dense
+    payload already in container block order, so with no raw-fallback
+    blocks the device stream IS the payload — zero host reordering.
+    Raw blocks (absent from the device stream) splice in as the stream's
+    non-raw runs shift right past each raw span.
+    """
+    sizes = np.asarray(sizes_h, dtype=np.int64)
+    raw = np.asarray(raw_h, dtype=bool)
+    total = int(sizes.sum())
+    flat = np.ascontiguousarray(stream_h, dtype=np.uint8).reshape(-1)
+    if not raw.any():
+        return flat[:total], total
+    out = np.empty(total, dtype=np.uint8)
+    block_base = np.cumsum(sizes) - sizes
+    nr_sizes = np.where(raw, 0, sizes)
+    src_base = np.cumsum(nr_sizes) - nr_sizes
+    # contiguous runs of non-raw blocks copy as single spans (raw
+    # fallback is rare: usually zero, worst case a handful of blocks)
+    nr = np.flatnonzero(~raw)
+    if nr.size:
+        run_first = np.r_[True, np.diff(nr) != 1]
+        starts = nr[run_first]
+        run_id = np.cumsum(run_first) - 1
+        run_bytes = np.bincount(run_id, weights=nr_sizes[nr]).astype(
+            np.int64
+        )
+        for b, n in zip(starts, run_bytes):
+            d0, s0 = block_base[b], src_base[b]
+            out[d0:d0 + n] = flat[s0:s0 + n]
+    rb = np.ascontiguousarray(raw_bytes_h, dtype=np.uint8)
+    for i, b in enumerate(np.nonzero(raw)[0]):
+        out[block_base[b]:block_base[b] + 4 * cells] = rb[i]
+    return out, total
+
+
 def assemble_payload_segments(subrows_h, lsid_h, lsb_h, slcount, sizes_h,
-                              raw_h, raw_bytes_h, cells, blk, vol_shape3,
-                              packed_meta=False):
-    """Host: ragged concat from per-SUBROW metadata (stripe seg path).
+                              raw_h, raw_bytes_h, cells, blk, vol_shape3):
+    """Host: ragged concat from per-SUBROW metadata (stripe seg path,
+    the giant-volume fallback — see seg_block_order_ok).
 
     `lsid_h`/`lsb_h` carry each live subrow's owning segment id and that
     segment's byte count (pack_active_stripe_seg); a segment's subrows
     are consecutive, so segment spans fall out of where lsid changes.
-    With `packed_meta` (seg_meta_packed geometries) lsid_h instead holds
-    sid*128 + blive per subrow and lsb_h is unused — segment byte counts
-    are reduceat sums of the live-byte field.  Segments arrive in
-    stripe-row-major order (r-major, then block column); the container
-    needs block order.  A stable argsort by block id groups them while
-    preserving the within-block (z, y) row order — everything here is
-    ∝ live segments (∝ compressed size).
+    Segments arrive in stripe-row-major order (r-major, then block
+    column); the container needs block order.  A stable argsort by block
+    id groups them while preserving the within-block (z, y) row order —
+    everything here is ∝ live segments (∝ compressed size).
     """
     sizes = np.asarray(sizes_h, dtype=np.int64)
     raw = np.asarray(raw_h, dtype=bool)
     lsid = np.asarray(lsid_h[:slcount], dtype=np.int64)
-    if packed_meta:
-        blv = lsid & 127
-        lsid >>= 7
-    else:
-        lsb = np.asarray(lsb_h[:slcount], dtype=np.int64)
+    lsb = np.asarray(lsb_h[:slcount], dtype=np.int64)
     if slcount:
         first = np.empty(slcount, dtype=bool)
         first[0] = True
         np.not_equal(lsid[1:], lsid[:-1], out=first[1:])
         starts = np.flatnonzero(first)
         sid = lsid[starts]
-        sb = np.add.reduceat(blv, starts) if packed_meta else lsb[starts]
+        sb = lsb[starts]
     else:
         starts = np.empty(0, np.int64)
         sid = np.empty(0, np.int64)

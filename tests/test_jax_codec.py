@@ -487,6 +487,35 @@ def test_stripe_seg_container_parity_random(monkeypatch, rng, shape, block,
     )
 
 
+def test_stripe_seg_metadata_fallback_parity(monkeypatch, rng):
+    """The giant-volume fallback (per-subrow metadata + host reorder,
+    taken when the block-order sort key would overflow i32 —
+    seg_block_order_ok) emits byte-identical containers to the default
+    block-order path."""
+    from cvxcompress_tpu.ops import rle_device as rd
+
+    shape, block = (64, 96, 96), (32, 32, 32)
+    _interpret_kernels(monkeypatch)
+    vol = (rng.standard_normal(shape) * 30).astype(np.float32)
+    vol[rng.random(shape) >= 0.2] = 0.0
+    vol.reshape(-1)[rng.integers(0, vol.size, 20)] = 3e9  # raw blocks
+    monkeypatch.setattr(jcodec, "use_pallas", lambda: True)
+    monkeypatch.setenv("CVX_STRIPE", "1")
+    monkeypatch.setenv("CVX_STRIPE_FUSED", "0")
+    assert jcodec._use_stripe_path(shape, block, False, 128) == "seg"
+    ref, _ = jcodec.compress(vol, 1e-2, block=block)
+
+    # force the fallback; the jit cache keys only on plane_geom, so the
+    # cached block-order trace must be dropped
+    rd.pack_active_stripe_seg.clear_cache()
+    monkeypatch.setattr(rd, "seg_block_order_ok", lambda g: False)
+    try:
+        got, _ = jcodec.compress(vol, 1e-2, block=block)
+    finally:
+        rd.pack_active_stripe_seg.clear_cache()
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
 def test_stripe_patch_mode_still_matches(monkeypatch, rng):
     """CVX_STRIPE=patch (the older patch-gather pack) emits byte-identical
     containers to the SEG pack — both consume the same stripe plane, so
