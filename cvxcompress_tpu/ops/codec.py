@@ -1119,81 +1119,128 @@ def decompress_device(data, to_host=True):
     return np.asarray(out) if to_host else out
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nzp", "nz"))
-def _split_stack(stacked, k, nzp, nz):
-    """(k*nzp, ny, nx) z-stacked decode output -> (k, nz, ny, nx)."""
-    return stacked.reshape(k, nzp, *stacked.shape[1:])[:, :nz]
+# Sticky per-(geometry, mode) segment-count bucket for the batched
+# decode: a stream of similar containers settles on one row stride (one
+# compile), and the cap only grows (few compiles on drift).
+_DEC_CAPS = {}
 
 
-def _stack_plans(plans, geom):
-    """Merge K per-volume decode plans into ONE stacked plan.
+def _plan_row_stride(nseg_cap, local):
+    from . import entropy_decode as ed
 
-    `geom` is (nz, ny, nx, bx, by, bz).  The K volumes become a Z-STACKED
-    pseudo-volume: segment streams concatenate, block ids offset by
-    k*nnn — exact because block ids are z-major (bzi = b // (nby*nbx),
-    mirroring CvxCompress.cpp:321-328's iBlk decode), so volume k's
-    blocks ARE the stacked volume's blocks [k*nnn, (k+1)*nnn).  Returns
-    (plan_dict, vol_shape_stack, nzp, raw_ids, raw_rows).
+    nsub = nseg_cap * ed.SPS
+    return nseg_cap * ed.SEG + 5 * nsub + 4 * (nsub if local else 1)
+
+
+def _plan_rows(plans, nseg_cap, nnn, local):
+    """Serialize K decode plans into ONE (K, stride) u8 blob.
+
+    A fixed row stride makes the whole batch ONE h2d upload (each
+    device_put through a transport pays its own latency); rows slice
+    apart on device.  Padding rows are inert subsegments: reset=True,
+    virtual block nnn (their scatter targets land at/past the discard
+    slot), zero segment bytes.
     """
     from . import entropy_decode as ed
 
-    nz, ny, nx, bx, by, bz = geom
     k = len(plans)
-    nbz, nby, nbx = -(-nz // bz), -(-ny // by), -(-nx // bx)
-    nnn = nbz * nby * nbx
-    nzp = nbz * bz
-    nnn_stack = k * nnn
-    vol_shape_stack = (k * nzp, ny, nx)
+    nsub = nseg_cap * ed.SPS
+    o0 = nseg_cap * ed.SEG
+    o1 = o0 + 4 * nsub
+    o2 = o1 + nsub
+    blob = np.empty((k, _plan_row_stride(nseg_cap, local)), np.uint8)
+    for i, p in enumerate(plans):
+        nseg = p["segs"].shape[0]
+        ns = nseg * ed.SPS
+        row = blob[i]
+        sv = row[:o0].reshape(nseg_cap, ed.SEG)
+        sv[:nseg] = p["segs"]
+        sv[nseg:] = 0
+        sb = row[o0:o1].view(np.int32)
+        sb[:ns] = p["sub_block"]
+        sb[ns:] = nnn
+        sr = row[o1:o2]
+        sr[:ns] = p["sub_reset"]
+        sr[ns:] = 1
+        sf = row[o2:].view(np.float32)
+        if local:
+            sf[:ns] = p["scalefac"]
+            sf[ns:] = 1.0
+        else:
+            sf[0] = p["scalefac"][0]
+    return blob
 
-    nseg_k = [p["segs"].shape[0] for p in plans]
-    # bucketed total so a stream of similar batches reuses ONE compile
-    nseg_cap = max(rle_device.bucket(sum(nseg_k), lo=8), sum(nseg_k))
-    nsub_cap = nseg_cap * ed.SPS
-    segs = np.zeros((nseg_cap, ed.SEG), np.uint8)
-    # padding tail: inert subsegments (reset=True, virtual block
-    # nnn_stack -> scatter targets land at/past the discard slot)
-    sub_block = np.full(nsub_cap, nnn_stack, np.int32)
-    sub_reset = np.ones(nsub_cap, bool)
-    scalefac = np.ones(nsub_cap, np.float32)
-    raw_ids, raw_rows = [], []
-    r = 0
-    for kk, p in enumerate(plans):
-        nsk = nseg_k[kk]
-        s0, s1 = r * ed.SPS, (r + nsk) * ed.SPS
-        segs[r:r + nsk] = p["segs"]
-        sb = p["sub_block"]
-        # per-volume padding (virtual block nnn) joins the stack's
-        # discard block; real blocks offset into the stacked grid
-        sub_block[s0:s1] = np.where(sb == nnn, nnn_stack, sb + kk * nnn)
-        sub_reset[s0:s1] = p["sub_reset"]
-        scalefac[s0:s1] = p["scalefac"][0] if p["scalefac"].shape[0] == 1 \
-            else p["scalefac"]
-        if p["raw_ids"].size:
-            raw_ids.append(p["raw_ids"] + np.int32(kk * nnn))
-            raw_rows.append(p["raw_rows"])
-        r += nsk
-    stacked = {
-        "segs": segs, "sub_block": sub_block, "sub_reset": sub_reset,
-        "scalefac": scalefac,
-    }
-    return stacked, vol_shape_stack, nzp, raw_ids, raw_rows
+
+def _unbundle_row(row, nseg_cap, local):
+    """In-trace split of one _plan_rows row (shared by the decode jits)."""
+    from . import entropy_decode as ed
+
+    nsub = nseg_cap * ed.SPS
+    o0 = nseg_cap * ed.SEG
+    o1 = o0 + 4 * nsub
+    o2 = o1 + nsub
+    segs = row[:o0].reshape(nseg_cap, ed.SEG)
+    sub_block = jax.lax.bitcast_convert_type(
+        row[o0:o1].reshape(nsub, 4), jnp.int32
+    )
+    sub_reset = row[o1:o2] != 0
+    nsf = nsub if local else 1
+    scalefac = jax.lax.bitcast_convert_type(
+        row[o2:o2 + 4 * nsf].reshape(nsf, 4), jnp.float32
+    )
+    return segs, sub_block, sub_reset, scalefac
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("vol_shape", "block", "nseg_cap", "local", "on_tpu"),
+)
+def _decode_and_inverse_row(row, vol_shape, block, nseg_cap, local,
+                            on_tpu=False):
+    """Plan-row unbundle + entropy parse + inverse in ONE program."""
+    from . import entropy_decode as ed
+
+    segs, sub_block, sub_reset, scalefac = _unbundle_row(
+        row, nseg_cap, local
+    )
+    plane = ed.decode_to_volume.__wrapped__(
+        segs, sub_block, sub_reset, scalefac, vol_shape, block, nseg_cap,
+        on_tpu,
+    )
+    plane = wavelet.apply_x_inverse_rows(plane, block[0])
+    return wavelet.inverse_3d_volume(plane, vol_shape, block)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("vol_shape", "block", "nseg_cap", "local", "on_tpu"),
+)
+def _decode_plane_row(row, vol_shape, block, nseg_cap, local,
+                      on_tpu=False):
+    """Plan-row decode to the coefficient plane (raw-overlay staging)."""
+    from . import entropy_decode as ed
+
+    segs, sub_block, sub_reset, scalefac = _unbundle_row(
+        row, nseg_cap, local
+    )
+    return ed.decode_to_volume.__wrapped__(
+        segs, sub_block, sub_reset, scalefac, vol_shape, block, nseg_cap,
+        on_tpu,
+    )
 
 
 def decompress_many(datas, to_host=True):
     """Batched device decompress of K same-geometry containers.
 
-    The K volumes decode in ONE device program over a Z-STACKED
-    pseudo-volume (see _stack_plans).  ONE h2d upload carries every
-    plan; the parse's per-op overhead amortizes across the batch — the
-    fix for round 3's sustained-decompress loss (BENCH_dev_r03: 703 MC/s
-    of per-volume round trips around a 6.7 ms device decode).
+    ONE h2d upload carries every plan (each transfer through a transport
+    pays its own latency — the fix for round 3's sustained-decompress
+    loss), then K per-volume decode+inverse programs dispatch back to
+    back (measured FASTER than one z-stacked pseudo-volume program:
+    28.6 vs 31.0 ms for 4 CI-config volumes — the stacked inverse pays
+    a bigger-shape relayout and the stacked segment bucket over-pads).
 
-    The decoded COEFFICIENT plane is bit-identical to the per-volume
-    decode (tested); the final volumes agree within the transform
-    contract — the y/z inverse contractions run at a different batch
-    shape, so f32 accumulation may differ in the last ulp, the same
-    1e-5 bar the reference holds between its own slow and fast paths
-    (CvxCompress.cpp:597).
+    The decode is bit-identical to per-volume decompress_device (same
+    programs, padded with inert subsegments).
 
     Returns a list of K volumes (host np arrays, or device arrays when
     `to_host=False` — the RTM backward-pass shape), or None when any
@@ -1215,12 +1262,13 @@ def decompress_many(datas, to_host=True):
     return [vols[i] for i in range(k)]
 
 
-def _decompress_many_stage(datas):
-    """Dispatch the batched decode; returns the (K, nz, ny, nx) DEVICE
-    array (no sync), or None for degenerate/mixed-geometry inputs."""
+def _decompress_many_prepare(datas):
+    """Host half of the batched decode: plans + the serialized plan
+    blob.  No device work — the pipelined stream runs this on the main
+    thread while its transfer worker owns the transport.  Returns None
+    for degenerate/mixed-geometry inputs."""
     from . import entropy_decode as ed
 
-    k = len(datas)
     plans = [ed.plan(d, reuse_staging=False) for d in datas]
     if any(p is None for p in plans):
         return None
@@ -1230,30 +1278,53 @@ def _decompress_many_stage(datas):
         h = p["hdr"]
         if (h.nz, h.ny, h.nx, h.bx, h.by, h.bz) != geom:
             return None
-    nz, ny, nx = h0.nz, h0.ny, h0.nx
-    block = (h0.bx, h0.by, h0.bz)
-    stacked_plan, vol_shape_stack, nzp, raw_ids, raw_rows = _stack_plans(
-        plans, (nz, ny, nx, h0.bx, h0.by, h0.bz)
-    )
-    nseg_cap = stacked_plan["segs"].shape[0]
+    local = bool(h0.use_local_rms)
+    nnn = h0.grid[3]
 
-    segs_d, sb_d, sr_d, sf_d = _upload_plan(stacked_plan)
-    if raw_ids:
-        plane = ed.decode_to_volume(
-            segs_d, sb_d, sr_d, sf_d, vol_shape_stack, block, nseg_cap,
-            use_pallas(),
-        )
-        plane = ed.overlay_raw(
-            plane, jnp.asarray(np.concatenate(raw_rows)),
-            jnp.asarray(np.concatenate(raw_ids)), vol_shape_stack, block,
-        )
-        stacked = _inverse_volume_plane(plane, vol_shape_stack, block)
-    else:
-        stacked = _decode_and_inverse(
-            segs_d, sb_d, sr_d, sf_d, vol_shape_stack, block, nseg_cap,
-            use_pallas(),
-        )
-    return _split_stack(stacked, k, nzp, nz)
+    need = max(p["segs"].shape[0] for p in plans)
+    cap_key = (geom, local)
+    cap = _DEC_CAPS.get(cap_key, 0)
+    if need > cap:
+        cap = max(rle_device.bucket(need, lo=8), need)
+        _DEC_CAPS[cap_key] = cap
+
+    blob_h = _plan_rows(plans, cap, nnn, local)
+    return plans, blob_h, (geom, cap, local)
+
+
+def _decompress_many_dispatch(prep):
+    """Transfer + dispatch half: ONE h2d of the plan blob, then K
+    per-volume decode+inverse programs.  Returns the (K, ...) DEVICE
+    array (no sync)."""
+    from . import entropy_decode as ed
+
+    plans, blob_h, (geom, cap, local) = prep
+    vol_shape, block = geom[:3], geom[3:]
+    blob = jnp.asarray(blob_h)  # ONE h2d
+    outs = []
+    for i, p in enumerate(plans):
+        row = blob[i]
+        if p["raw_ids"].size:
+            plane = _decode_plane_row(
+                row, vol_shape, block, cap, local, use_pallas()
+            )
+            plane = ed.overlay_raw(
+                plane, jnp.asarray(p["raw_rows"]),
+                jnp.asarray(p["raw_ids"]), vol_shape, block,
+            )
+            outs.append(_inverse_volume_plane(plane, vol_shape, block))
+        else:
+            outs.append(_decode_and_inverse_row(
+                row, vol_shape, block, cap, local, use_pallas()
+            ))
+    return jnp.stack(outs)
+
+
+def _decompress_many_stage(datas):
+    """Dispatch the batched decode; returns the (K, nz, ny, nx) DEVICE
+    array (no sync), or None for degenerate/mixed-geometry inputs."""
+    prep = _decompress_many_prepare(datas)
+    return None if prep is None else _decompress_many_dispatch(prep)
 
 
 def decompress(data, engine="auto"):

@@ -123,18 +123,20 @@ def compress_stream_batched(volumes, scale, block=(32, 32, 32),
 
     DISPATCH-AHEAD pipelining: batch i+1's device pipelines dispatch
     BEFORE batch i's bundle fetch, so the d2h transfer and the host
-    container assembly hide under the chip's compute of the next batch —
-    sustained throughput approaches the pure device rate.  `lookahead`
-    batches of small output bundles (not coefficient planes) stay alive.
+    container assembly hide under the chip's compute of the next batch.
+    The bundle fetch itself runs on a dedicated TRANSFER THREAD: d2h
+    through a high-latency transport blocks its calling thread for
+    latency + size/bandwidth but RELEASES the GIL (measured round 4),
+    so the main thread keeps dispatching while the transfer lane drains.
+    `lookahead` batches of small output bundles (not coefficient planes)
+    stay alive.
     """
     import jax.numpy as jnp
     import numpy as np
 
-    import collections
-
     pending = collections.deque()
 
-    def stage(chunk):
+    def stage(ex, chunk):
         vols = [_codec._prep_vol(v) for v in chunk]
         mfs = [
             _codec._prep_mulfac(v, scale, use_local_rms, None) for v in vols
@@ -147,61 +149,70 @@ def compress_stream_batched(volumes, scale, block=(32, 32, 32),
             bundle = ctxs[0]["bundle"]
         else:
             bundle = jnp.concatenate([c["bundle"] for c in ctxs])
-        return ctxs, bundle
+        return ctxs, ex.submit(np.asarray, bundle)  # fetch on the lane
 
-    def finish(ctxs, bundle):
-        blob = np.asarray(bundle)  # ONE fetch per batch
+    def finish(ctxs, fut):
+        blob = fut.result()
         off = 0
         for c in ctxs:
             nb = c["nbytes"]
             yield _codec._compress_finish(c, blob[off:off + nb])
             off += nb
 
-    for chunk in _batches(volumes, batch):
-        pending.append(stage(chunk))
-        while len(pending) > lookahead:
+    with _cf.ThreadPoolExecutor(1) as ex:
+        for chunk in _batches(volumes, batch):
+            pending.append(stage(ex, chunk))
+            while len(pending) > lookahead:
+                yield from finish(*pending.popleft())
+        while pending:
             yield from finish(*pending.popleft())
-    while pending:
-        yield from finish(*pending.popleft())
 
 
 def decompress_stream_batched(containers, batch=4, to_host=True,
                               lookahead=1):
     """Batched streaming decompress: yields volumes in input order.
 
-    Dispatch-ahead like compress_stream_batched: batch i+1's plan/upload/
-    decode dispatch before batch i's result is consumed, hiding the h2d
-    and host planning under device compute.
+    The host planning (container parse + plan-blob build) runs on the
+    main thread; the transfers and program dispatch run on a dedicated
+    TRANSFER THREAD (one h2d blob per batch blocks its caller for
+    latency + size/bandwidth but releases the GIL — measured round 4 —
+    and the tunnel serializes concurrent transfers anyway, so ONE lane
+    is exactly right).  Batch i+1 plans while batch i uploads/decodes.
     """
     import numpy as np
 
-    import collections
-
     pending = collections.deque()
 
-    def finish(chunk, vols):
+    def dispatch(prep, chunk):
+        if prep is None:
+            if len(chunk) == 1:
+                out = _codec.decompress_device(chunk[0], to_host=False)
+                vols = out[None] if out is not None else None
+            else:
+                vols = None
+        else:
+            vols = _codec._decompress_many_dispatch(prep)
+        if vols is not None and to_host:
+            return np.asarray(vols), True  # ONE fetch per batch
+        return vols, False
+
+    def finish(chunk, fut):
+        vols, on_host = fut.result()
         if vols is None:  # degenerate/mixed: per-volume fallback
             for d in chunk:
                 yield _codec.decompress(d)
             return
-        if to_host:
-            vh = np.asarray(vols)  # ONE fetch per batch
-            for i in range(vh.shape[0]):
-                yield vh[i]
-        else:
-            for i in range(vols.shape[0]):
-                yield vols[i]
+        for i in range(vols.shape[0]):
+            yield vols[i]
 
-    for chunk in _batches(containers, batch):
-        vols = (
-            _codec._decompress_many_stage(chunk) if len(chunk) > 1
-            else None
-        )
-        if vols is None and len(chunk) == 1:
-            out = _codec.decompress_device(chunk[0], to_host=False)
-            vols = out[None] if out is not None else None
-        pending.append((chunk, vols))
-        while len(pending) > lookahead:
+    with _cf.ThreadPoolExecutor(1) as ex:
+        for chunk in _batches(containers, batch):
+            prep = (
+                _codec._decompress_many_prepare(chunk) if len(chunk) > 1
+                else None
+            )
+            pending.append((chunk, ex.submit(dispatch, prep, chunk)))
+            while len(pending) > lookahead:
+                yield from finish(*pending.popleft())
+        while pending:
             yield from finish(*pending.popleft())
-    while pending:
-        yield from finish(*pending.popleft())

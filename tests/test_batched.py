@@ -125,17 +125,16 @@ def test_decompress_many_unpadded_z(rng):
     _assert_volumes_match(singles, batched)
 
 
-def test_stacked_decode_plane_bit_exact(rng):
-    """The stacked decode's COEFFICIENT plane is bit-identical to the
-    per-volume decodes: the parse, scatter targets, and dequantization
-    are exact integer/float math — only the inverse einsums downstream
-    carry a batch-shape-dependent accumulation order."""
+def test_plan_row_decode_plane_bit_exact(rng):
+    """The batched plan-row decode's COEFFICIENT plane is bit-identical
+    to the per-volume decodes: the row unbundle, parse, scatter targets,
+    and dequantization are exact integer/float math, and the inert
+    padding segments (reset=True, discard block) contribute nothing."""
     import jax.numpy as jnp
 
     from cvxcompress_tpu.ops import entropy_decode as ed
 
     shape, block = (24, 16, 16), (8, 8, 8)
-    nz, ny, nx = shape
     vols = _vols(rng, k=3, shape=shape)
     datas = [jcodec.compress(v, 1e-2, block=block)[0] for v in vols]
     planes = []
@@ -147,20 +146,15 @@ def test_stacked_decode_plane_bit_exact(rng):
         )
         planes.append(np.asarray(pl))
     plans = [ed.plan(d, reuse_staging=False) for d in datas]
-    stacked_plan, vol_shape_stack, nzp, raw_ids, _rr = jcodec._stack_plans(
-        plans, (nz, ny, nx, *block)
-    )
-    assert not raw_ids
-    sd, sbd, srd, sfd = jcodec._upload_plan(stacked_plan)
-    stack = np.asarray(ed.decode_to_volume(
-        sd, sbd, srd, sfd, vol_shape_stack, block,
-        stacked_plan["segs"].shape[0], False,
-    ))
-    rows_per_vol = planes[0].shape[0]
+    hdr = plans[0]["hdr"]
+    need = max(p["segs"].shape[0] for p in plans)
+    cap = need + 3  # deliberately unpadded-odd cap: padding must be inert
+    blob = jnp.asarray(jcodec._plan_rows(plans, cap, hdr.grid[3], False))
     for k, pl in enumerate(planes):
-        np.testing.assert_array_equal(
-            stack[k * rows_per_vol:(k + 1) * rows_per_vol], pl
-        )
+        got = np.asarray(jcodec._decode_plane_row(
+            blob[k], shape, block, cap, False, False
+        ))
+        np.testing.assert_array_equal(got, pl)
 
 
 def test_decompress_batched_mixed_geometry_falls_back(rng):
