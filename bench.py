@@ -168,7 +168,8 @@ def per_iter_time(run, iters, reps=2):
     return max(t2, 1e-9) / (2 * iters)  # upper bound, never nonsense
 
 
-def bench_device_compress(vol, block, scale, iters=6, reps=3):
+def bench_device_compress(vol, block, scale, iters=6, reps=3,
+                          use_local=False):
     """Per-volume device time of the full compress pipeline (W+T+P jits)."""
     import jax
     import jax.numpy as jnp
@@ -194,7 +195,7 @@ def bench_device_compress(vol, block, scale, iters=6, reps=3):
     if fused:
         def stage1(v):
             fvp, mf = jcodec._stage_w_pallas(
-                v, mf0, jnp.float32(scale), False, block, chunk
+                v, mf0, jnp.float32(scale), use_local, block, chunk
             )
             return tp.tokenize_compact_fast(fvp, nnn, cells // chunk, chunk)
 
@@ -213,7 +214,7 @@ def bench_device_compress(vol, block, scale, iters=6, reps=3):
         def run(v):
             (chunks, desc, cb, sizes, raw, counts, mf,
              gcfg) = jcodec._encode_device(
-                v, mf0, jnp.float32(scale), False, block, chunk
+                v, mf0, jnp.float32(scale), use_local, block, chunk
             )
             return chunks, desc, cb, mf, counts, gcfg
 
@@ -588,6 +589,20 @@ def run_stages(args, budget, detail, results):
             )
             results[name]["pipelined_sustained_decompress_mcells_s"] = round(
                 sus_d, 1
+            )
+            flush_partial(detail)
+
+        if budget.admit(f"{name}_local_rms", 40):
+            # local-RMS on the FUSED paths (round-4): one code path for
+            # both RMS modes, like CvxCompress.cpp:343-348
+            t_lc = bench_device_compress(
+                vol, block, scale, iters, use_local=True
+            )
+            loc_c = ncells / t_lc / 1e6
+            log(f"[{name}] device compress LOCAL-RMS {t_lc*1e3:.2f} ms = "
+                f"{loc_c:.0f} MC/s ({loc_c/dev_c:.2f}x of global)")
+            results[name]["device_compress_local_rms_mcells_s"] = round(
+                loc_c, 1
             )
             flush_partial(detail)
 

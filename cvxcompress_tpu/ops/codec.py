@@ -312,9 +312,12 @@ def _use_fused_w(vol_shape, block, use_local, chunk):
     mode = os.environ.get("CVX_FUSED_W", "block")
     if mode not in ("1", "block"):
         return ""
+    if mode == "1" and use_local:
+        # the two-kernel path streams TR tiles and cannot see the whole
+        # block before tokenizing; the whole-block kernel can (and does)
+        return ""
     if not (
         use_pallas()
-        and not use_local  # local RMS needs whole-block reductions
         and chunk == 128
         and fc.fused_path_ok(vol_shape, block)
     ):
@@ -347,15 +350,18 @@ def _encode_device(vol_dev, glob_mulfac, scale, use_local, block, chunk):
         if (
             _os.environ.get("CVX_STRIPE_FUSED", "1") == "1"
             and stripe_mode == "seg"  # CVX_STRIPE=patch pins the staged A/B path
-            and not use_local
             and tp.stripe_fused_ok(shape, block)
         ):
             # ONE kernel: pad stays in XLA, everything else (x/y/z
-            # cascades, scaling, tokenize) runs in VMEM per block row
-            fvv, desc, cbrow, cb, sizes, raw, counts = (
-                tp.stripe_fused_encode(vol_dev, glob_mulfac, shape, block)
+            # cascades, scaling — global OR per-block local-RMS — and
+            # tokenize) runs in VMEM per block row
+            fvv, desc, cbrow, cb, sizes, raw, counts, mf = (
+                tp.stripe_fused_encode(
+                    vol_dev,
+                    jnp.float32(scale) if use_local else glob_mulfac,
+                    shape, block, use_local=use_local,
+                )
             )
-            mf = None
         else:
             if use_local:
                 fvv, mf = _stage_w_stripe_local(vol_dev, scale, block)
@@ -383,15 +389,20 @@ def _encode_device(vol_dev, glob_mulfac, scale, use_local, block, chunk):
     if fw_mode:
         from . import fused_compress as fc
 
-        producer = (
-            fc.tokenize_desc_block if fw_mode == "block"
-            else fc.tokenize_desc_fused
-        )
-        fv, desc, cb, sizes, raw, counts = producer(
-            vol_dev, jnp.float32(glob_mulfac), shape, block,
-        )
+        if fw_mode == "block":
+            fv, desc, cb, sizes, raw, counts, mf = fc.tokenize_desc_block(
+                vol_dev,
+                jnp.float32(scale) if use_local else jnp.float32(glob_mulfac),
+                shape, block, use_local=use_local,
+            )
+        else:
+            fv, desc, cb, sizes, raw, counts = fc.tokenize_desc_fused(
+                vol_dev, jnp.float32(glob_mulfac), shape, block,
+            )
+            mf = None
         n = sizes.shape[0]
-        mf = jnp.broadcast_to(glob_mulfac, (n,)).astype(jnp.float32)
+        if mf is None:
+            mf = jnp.broadcast_to(glob_mulfac, (n,)).astype(jnp.float32)
         return fv, desc, cb, sizes, raw, counts, mf, None
     if _use_volume_path(shape, block, use_local, chunk):
         chunks = _stage_w_volume(vol_dev, glob_mulfac, block)
@@ -1015,11 +1026,33 @@ def sparse_chunks(coeffs, cells, chunk):
     return payload, invmap, acap
 
 
-@functools.partial(jax.jit, static_argnames=("vol_shape", "block"))
-def _inverse_volume_plane(plane, vol_shape, block):
-    """Padded volume-order coefficient plane -> volume (x, y, z inverse)."""
+def _inverse_from_plane(plane, vol_shape, block, on_tpu):
+    """Inverse wavelet of a volume-order coefficient plane (in-trace).
+
+    On TPU at stripe geometries the fused inverse kernel runs all three
+    cascades in one VMEM pass (the staged einsums measured 3.4 ms vs a
+    ~0.55 ms traffic roofline at the CI config); elsewhere the staged
+    x + y/z einsums stay."""
+    from . import fused_inverse as fi
+
+    if on_tpu and fi.stripe_inverse_ok(vol_shape, block):
+        return fi.stripe_fused_inverse.__wrapped__(
+            plane, vol_shape, block
+        )
+    if on_tpu and fi.block_inverse_ok(vol_shape, block):
+        return fi.block_fused_inverse.__wrapped__(
+            plane, vol_shape, block
+        )
     plane = wavelet.apply_x_inverse_rows(plane, block[0])
     return wavelet.inverse_3d_volume(plane, vol_shape, block)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("vol_shape", "block", "on_tpu")
+)
+def _inverse_volume_plane(plane, vol_shape, block, on_tpu=False):
+    """Padded volume-order coefficient plane -> volume (x, y, z inverse)."""
+    return _inverse_from_plane(plane, vol_shape, block, on_tpu)
 
 
 @functools.partial(
@@ -1035,8 +1068,7 @@ def _decode_and_inverse(segs, sub_block, sub_reset, scalefac, vol_shape,
         segs, sub_block, sub_reset, scalefac, vol_shape, block, nseg_s,
         on_tpu,
     )
-    plane = wavelet.apply_x_inverse_rows(plane, block[0])
-    return wavelet.inverse_3d_volume(plane, vol_shape, block)
+    return _inverse_from_plane(plane, vol_shape, block, on_tpu)
 
 
 
@@ -1110,7 +1142,8 @@ def decompress_device(data, to_host=True):
             plane, jnp.asarray(p["raw_rows"]), jnp.asarray(p["raw_ids"]),
             vol_shape, block,
         )
-        out = _inverse_volume_plane(plane, vol_shape, block)
+        out = _inverse_volume_plane(plane, vol_shape, block,
+                                    use_pallas())
         return np.asarray(out) if to_host else out
     out = _decode_and_inverse(
         segs, sub_block, sub_reset, scalefac,
@@ -1207,8 +1240,7 @@ def _decode_and_inverse_row(row, vol_shape, block, nseg_cap, local,
         segs, sub_block, sub_reset, scalefac, vol_shape, block, nseg_cap,
         on_tpu,
     )
-    plane = wavelet.apply_x_inverse_rows(plane, block[0])
-    return wavelet.inverse_3d_volume(plane, vol_shape, block)
+    return _inverse_from_plane(plane, vol_shape, block, on_tpu)
 
 
 @functools.partial(
@@ -1312,7 +1344,9 @@ def _decompress_many_dispatch(prep):
                 plane, jnp.asarray(p["raw_rows"]),
                 jnp.asarray(p["raw_ids"]), vol_shape, block,
             )
-            outs.append(_inverse_volume_plane(plane, vol_shape, block))
+            outs.append(_inverse_volume_plane(
+                plane, vol_shape, block, use_pallas()
+            ))
         else:
             outs.append(_decode_and_inverse_row(
                 row, vol_shape, block, cap, local, use_pallas()

@@ -256,6 +256,38 @@ def tokenize_desc_fused(vol, glob_mulfac, vol_shape3, block,
 # ---------------------------------------------------------------------------
 
 
+def _block_tokenize_tail(fv_ref, desc_ref, mf=None):
+    """Tokenize the whole-block fv_ref in TR-row sub-tiles (one
+    16384-row _tile_desc call makes every temporary 8 MB and blows the
+    scoped-vmem budget — measured 124.7M); the carry chains through a
+    plain loop variable (the whole block lives in this one grid step),
+    the lookahead window reads the next sub-tile's head straight from
+    VMEM, and zero runs never span blocks so the chain starts at -1.
+
+    With `mf` (local-RMS mode) fv_ref holds UNSCALED coefficients on
+    entry: each sub-tile is scaled in the same pass that tokenizes it
+    and written back (a separate whole-block scale loop spilled 79 M of
+    registers and blew physical VMEM — measured round 4)."""
+    ncpb = B * B * B // 128
+    ntiles = ncpb // tp.TR
+    carry = jnp.int32(-1)
+    zero8 = jnp.zeros((8, 128), jnp.float32)
+    for t in range(ntiles):
+        fv_t = fv_ref[t * tp.TR : (t + 1) * tp.TR, :]
+        nxt = (
+            fv_ref[(t + 1) * tp.TR : (t + 1) * tp.TR + 8, :]
+            if t + 1 < ntiles else zero8  # block_end forces run_end
+        )
+        if mf is not None:
+            fv_t = fv_t * mf
+            nxt = nxt * mf
+            fv_ref[t * tp.TR : (t + 1) * tp.TR, :] = fv_t
+        desc_t, _cost, carry = tp._tile_desc(
+            fv_t, nxt, carry, pl.program_id(0) * ntiles + t, ncpb
+        )
+        desc_ref[t * tp.TR : (t + 1) * tp.TR, :] = desc_t
+
+
 def _kernel_block(v_ref, opz_ref, opxt_ref, opy_ref, mf_ref, fv_ref,
                   desc_ref, sA, *, split):
     opz = opz_ref[:]
@@ -274,31 +306,56 @@ def _kernel_block(v_ref, opz_ref, opxt_ref, opy_ref, mf_ref, fv_ref,
         t = tp.mxu_dot3(opy, t, split)
         fv_ref[z * B : (z + 1) * B, :] = t * mf
 
-    # tokenize in TR-row sub-tiles (one 16384-row _tile_desc call makes
-    # every temporary 8 MB and blows the scoped-vmem budget — measured
-    # 124.7M); the carry chains through a plain loop variable (the whole
-    # block lives in this one grid step), the lookahead window reads the
-    # next sub-tile's head straight from VMEM, and zero runs never span
-    # blocks so the chain starts at -1
+    _block_tokenize_tail(fv_ref, desc_ref)
+
+
+def _kernel_block_local(v_ref, opz_ref, opxt_ref, opy_ref, sc_ref, fv_ref,
+                        desc_ref, mfo_ref, sA, *, split):
+    """Local-RMS whole-block variant: the block's coefficient RMS is
+    accumulated between the cascades and the tokenize (the coefficients
+    are already VMEM-resident — CvxCompress.cpp:343-348 computes it on
+    the transform output), then an in-VMEM scale pass applies the block
+    mulfac.  sc_ref carries `scale`; the mulfac leaves via mfo_ref for
+    the container's blkmulfac table."""
+    opz = opz_ref[:]
+    opxt = opxt_ref[:]
+    opy = opy_ref[:]
+    for y in range(B):
+        t = v_ref[:, y, :]
+        t = tp.mxu_dot3(opz, t, split)
+        t = tp.mxu_dot3(t, opxt, split)
+        sA[y, :, :] = t
+    for z in range(B):
+        fv_ref[z * B : (z + 1) * B, :] = tp.mxu_dot3(opy, sA[:, z, :], split)
+    # Σx² over the resident coefficients in TR sub-tiles.  The reduce
+    # accumulates a (1, 128) lane row — chaining SCALAR full-reduces
+    # (per y-slice or per sub-tile) kills the Mosaic compile outright
+    # (round 4: tpu_compile_helper exit 1; the lone final jnp.sum of the
+    # small row is fine)
     ncpb = B * B * B // 128
-    ntiles = ncpb // tp.TR
-    carry = jnp.int32(-1)
-    zero8 = jnp.zeros((8, 128), jnp.float32)
-    for t in range(ntiles):
-        fv_t = fv_ref[t * tp.TR : (t + 1) * tp.TR, :]
-        nxt = (
-            fv_ref[(t + 1) * tp.TR : (t + 1) * tp.TR + 8, :]
-            if t + 1 < ntiles else zero8  # block_end forces run_end
-        )
-        desc_t, _cost, carry = tp._tile_desc(
-            fv_t, nxt, carry, pl.program_id(0) * ntiles + t, ncpb
-        )
-        desc_ref[t * tp.TR : (t + 1) * tp.TR, :] = desc_t
+    ssrow = jnp.zeros((1, 128), jnp.float32)
+    for t in range(ncpb // tp.TR):
+        blkv = fv_ref[t * tp.TR : (t + 1) * tp.TR, :]
+        ssrow = ssrow + jnp.sum(blkv * blkv, axis=0, keepdims=True)
+    rms = jnp.sqrt(jnp.sum(ssrow) / jnp.float32(B * B * B))
+    mf = jnp.float32(1.0) / (rms * sc_ref[0, 0])
+    mf = jnp.where(rms == 0.0, jnp.float32(1.0), mf)
+    mf = jnp.where(jnp.isfinite(mf), mf, jnp.float32(1.0))
+    # Mosaic requires >= (8, 128) output tiles: the scalar leaves
+    # broadcast over one tile (tiny; the wrapper reads [0, 0])
+    mfo_ref[0, :, :] = jnp.full((8, 128), mf, jnp.float32)
+    _block_tokenize_tail(fv_ref, desc_ref, mf=mf)
 
 
-@functools.partial(jax.jit, static_argnames=("vol_shape3", "interpret"))
-def tokenize_block_fused(vol, mulfac, vol_shape3, interpret=False):
-    """(nz, ny, nx) volume -> (fv_chunks, desc), one kernel pass."""
+@functools.partial(
+    jax.jit, static_argnames=("vol_shape3", "use_local", "interpret")
+)
+def tokenize_block_fused(vol, mulfac, vol_shape3, use_local=False,
+                         interpret=False):
+    """(nz, ny, nx) volume -> (fv_chunks, desc, mf), one kernel pass.
+
+    With `use_local`, mulfac is the SCALE, the per-block RMS is computed
+    in-VMEM, and mf is the (nblocks,) mulfac table (else None)."""
     nz, ny, nx = vol_shape3
     nbz, nby, nbx = nz // B, ny // B, nx // B
     cells = B * B * B
@@ -316,8 +373,27 @@ def tokenize_block_fused(vol, mulfac, vol_shape3, interpret=False):
         bxi = b % nbx
         return (bzi, byi, bxi)
 
-    fv, desc = pl.pallas_call(
-        functools.partial(_kernel_block, split=split),
+    out_specs = [
+        pl.BlockSpec((cpb, 128), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((cpb, 128), lambda b: (b, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((nblocks * cpb, 128), jnp.float32),
+        jax.ShapeDtypeStruct((nblocks * cpb, 128), jnp.int32),
+    ]
+    if use_local:
+        kernel = _kernel_block_local
+        out_specs.append(
+            pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((nblocks, 8, 128), jnp.float32)
+        )
+    else:
+        kernel = _kernel_block
+    outs = pl.pallas_call(
+        functools.partial(kernel, split=split),
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((B, B, B), in_map, memory_space=pltpu.VMEM),
@@ -326,16 +402,8 @@ def tokenize_block_fused(vol, mulfac, vol_shape3, interpret=False):
             pl.BlockSpec((B, B), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((cpb, 128), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((cpb, 128), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((nblocks * cpb, 128), jnp.float32),
-            jax.ShapeDtypeStruct((nblocks * cpb, 128), jnp.int32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[
             pltpu.VMEM((B, B, B), jnp.float32),
         ],
@@ -344,21 +412,25 @@ def tokenize_block_fused(vol, mulfac, vol_shape3, interpret=False):
         ),
         interpret=interpret,
     )(vol, opz, opxt, opy, mf)
-    return fv, desc
+    fv, desc = outs[0], outs[1]
+    return fv, desc, (outs[2][:, 0, 0] if use_local else None)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("vol_shape3", "block", "interpret")
+    jax.jit,
+    static_argnames=("vol_shape3", "block", "use_local", "interpret"),
 )
 def tokenize_desc_block(vol, glob_mulfac, vol_shape3, block,
-                        interpret=False):
-    """Whole-block producer: same contract as tokenize_desc_fused."""
+                        use_local=False, interpret=False):
+    """Whole-block producer: same contract as tokenize_desc_fused, plus
+    the per-block mulfac table when `use_local` (glob_mulfac = scale)."""
     from . import rle_device
 
     assert fused_path_ok(vol_shape3, block)
     cells = B * B * B
-    fv, desc = tokenize_block_fused(
-        vol, glob_mulfac, vol_shape3, interpret=interpret
+    fv, desc, mf = tokenize_block_fused(
+        vol, glob_mulfac, vol_shape3, use_local=use_local,
+        interpret=interpret,
     )
     nchunks = desc.shape[0]
     ncpb = cells // 128
@@ -374,4 +446,4 @@ def tokenize_desc_block(vol, glob_mulfac, vol_shape3, block,
         (chunk_bytes + (rle_device.SUBROW - 1)) // rle_device.SUBROW
     ).sum(dtype=I32)
     counts = jnp.stack([acount, lcount])
-    return fv, desc, chunk_bytes, sizes, raw, counts
+    return fv, desc, chunk_bytes, sizes, raw, counts, mf

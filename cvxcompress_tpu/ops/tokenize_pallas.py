@@ -843,35 +843,11 @@ def stripe_fused_ok(vol_shape3, block):
     return TRS % 8 == 0 and TRS * W * 4 <= (3 << 20)
 
 
-def _kernel_stripe_fused(v_ref, opz_ref, opy_ref, opxt_ref, ex_ref, sp_ref,
-                         mf_ref, fv_ref, desc_ref, cb_ref, sA, sB, sy, *,
-                         geom, split):
-    byi = pl.program_id(0)
-    zt = pl.program_id(1)  # == bzi (one tile per block row)
+def _stripe_fused_tail(fv, zt, byi, geom, ex_ref, sp_ref, sy,
+                       fv_ref, desc_ref, cb_ref):
+    """Shared tokenize + output-store tail on the SCALED coefficients."""
     bx, by, zg, bz, nbx2, nby, cells = geom
     W = nbx2 * bx
-    Win = v_ref.shape[3]  # raw nx (x-only-pad variant) or W (padded)
-
-    # NOTE round 3: composing z and y into ONE Kronecker (bz*by, bz*by)
-    # row-mixing dot REGRESSED (13.0-14.3 ms vs 11.6-12.3 at the CI
-    # config) — its 5x FLOPs cost more than the per-dot overhead of the
-    # 2*bz tiny K=32 dots it replaced.  Batching those tiny dots along
-    # by*W also fails (Mosaic rejects a (bz, 1, by*W) input tile).  The
-    # per-slice loops stay.
-    opz = opz_ref[:]
-    opy = opy_ref[:]
-    a4 = v_ref[:, 0, :, :]  # (bz, by, Win) volume slab
-    for y in range(by):
-        sA[y * bz : (y + 1) * bz, :] = mxu_dot3(opz, a4[:, y, :], split)
-    vA = sA[:].reshape(by, bz, Win)
-    for z in range(bz):
-        sB[z * by : (z + 1) * by, :] = mxu_dot3(opy, vA[:, z, :], split)
-    # the x operator is (Win, W): when Win < W its missing rows are the
-    # x-pad zeros, so phantom block-columns materialize only HERE — no
-    # padded copy of the whole volume is ever written (x-only-pad form)
-    xw = mxu_dot3(sB[:], opxt_ref[:], split)
-    fv = xw * mf_ref[:]  # (1, 1) or (1, W) broadcast (global / local mf)
-
     carry0 = jnp.full((1, ex_ref.shape[1]), -1.0, jnp.float32)
     nxt_row = jnp.zeros((1, W), I32) != 0  # block_end forces run_end
     desc, cbrow, _carry = _tile_desc_stripe(
@@ -890,16 +866,85 @@ def _kernel_stripe_fused(v_ref, opz_ref, opy_ref, opxt_ref, ex_ref, sp_ref,
         cb_ref[zl, 0, :, :] = cbrow[zl * by : (zl + 1) * by, :]
 
 
+def _cascade_xw(v_ref, opz_ref, opy_ref, opxt_ref, sA, sB, geom, split):
+    """Shared x/y/z cascade body: volume slab -> PRE-SCALE coefficients
+    (bz*by, W).
+
+    NOTE round 3: composing z and y into ONE Kronecker (bz*by, bz*by)
+    row-mixing dot REGRESSED (13.0-14.3 ms vs 11.6-12.3 at the CI
+    config) — its 5x FLOPs cost more than the per-dot overhead of the
+    2*bz tiny K=32 dots it replaced.  Batching those tiny dots along
+    by*W also fails (Mosaic rejects a (bz, 1, by*W) input tile).  The
+    per-slice loops stay.
+    """
+    bx, by, zg, bz, nbx2, nby, cells = geom
+    Win = v_ref.shape[3]  # raw nx (x-only-pad variant) or W (padded)
+    opz = opz_ref[:]
+    opy = opy_ref[:]
+    a4 = v_ref[:, 0, :, :]  # (bz, by, Win) volume slab
+    for y in range(by):
+        sA[y * bz : (y + 1) * bz, :] = mxu_dot3(opz, a4[:, y, :], split)
+    vA = sA[:].reshape(by, bz, Win)
+    for z in range(bz):
+        sB[z * by : (z + 1) * by, :] = mxu_dot3(opy, vA[:, z, :], split)
+    # the x operator is (Win, W): when Win < W its missing rows are the
+    # x-pad zeros, so phantom block-columns materialize only HERE — no
+    # padded copy of the whole volume is ever written (x-only-pad form)
+    return mxu_dot3(sB[:], opxt_ref[:], split)
+
+
+def _kernel_stripe_fused(v_ref, opz_ref, opy_ref, opxt_ref, ex_ref, sp_ref,
+                         mf_ref, fv_ref, desc_ref, cb_ref, sA, sB, sy, *,
+                         geom, split):
+    byi = pl.program_id(0)
+    zt = pl.program_id(1)  # == bzi (one tile per block row)
+    xw = _cascade_xw(v_ref, opz_ref, opy_ref, opxt_ref, sA, sB, geom, split)
+    fv = xw * mf_ref[:]  # (1, 1) global mulfac broadcast
+    _stripe_fused_tail(fv, zt, byi, geom, ex_ref, sp_ref, sy,
+                       fv_ref, desc_ref, cb_ref)
+
+
+def _kernel_stripe_fused_local(v_ref, opz_ref, opy_ref, opxt_ref, ex_ref,
+                               sp_ref, spt_ref, sc_ref, fv_ref, desc_ref,
+                               cb_ref, mfo_ref, sA, sB, sy, *, geom, split):
+    """Local-RMS variant: per-block RMS IN-KERNEL between the cascades
+    and the tokenize (CvxCompress.cpp:343-348 — the mulfac comes from
+    the transform OUTPUT).  The whole block lives in this tile, so the
+    reduction is a sublane sum + one exact one-hot group-sum dot (spt);
+    sc_ref carries `scale` and the per-block mulfacs leave via mfo_ref
+    for the container's blkmulfac table (phantom x-pad columns get 1.0,
+    matching _stage_w_stripe_local)."""
+    byi = pl.program_id(0)
+    zt = pl.program_id(1)
+    bx, by, zg, bz, nbx2, nby, cells = geom
+    xw = _cascade_xw(v_ref, opz_ref, opy_ref, opxt_ref, sA, sB, geom, split)
+    rowsum = jnp.sum(xw * xw, axis=0, keepdims=True)  # (1, W)
+    ss = mxu_dot3(rowsum, spt_ref[:], False)  # (1, NL) block Σx², exact
+    rms = jnp.sqrt(ss / jnp.float32(cells))
+    mfr = jnp.float32(1.0) / (rms * sc_ref[0, 0])
+    mfr = jnp.where(rms == 0.0, jnp.float32(1.0), mfr)
+    mfr = jnp.where(jnp.isfinite(mfr), mfr, jnp.float32(1.0))
+    # Mosaic requires >= (8, 128) output tiles: the mulfac row leaves
+    # broadcast over 8 sublanes (tiny; the wrapper reads row 0)
+    mfo_ref[0, 0, :, :] = jnp.broadcast_to(mfr, (8, mfr.shape[1]))
+    fv = xw * mxu_dot3(mfr, sp_ref[:], False)  # spread mf to lanes
+    _stripe_fused_tail(fv, zt, byi, geom, ex_ref, sp_ref, sy,
+                       fv_ref, desc_ref, cb_ref)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("vol_shape3", "block", "interpret")
+    jax.jit,
+    static_argnames=("vol_shape3", "block", "use_local", "interpret"),
 )
 def stripe_fused_tiles(vpad, glob_mulfac, vol_shape3, block,
-                       interpret=False):
-    """(nzp*nyp, nxp2) PADDED RAW volume plane -> (fv, desc, cbrow).
+                       use_local=False, interpret=False):
+    """(nzp*nyp, nxp2) PADDED RAW volume plane -> (fv, desc, cbrow, mf).
 
     fv is the scaled volume-order coefficient plane (identical layout to
     _stage_w_stripe's output — the pack stage gathers from it), desc and
-    cbrow as tokenize_tiles_stripe.
+    cbrow as tokenize_tiles_stripe.  With `use_local`, glob_mulfac is
+    the SCALE, the kernel computes per-block mulfacs in-VMEM, and mf is
+    the (nbz, nby, NL) mulfac table (else None).
     """
     nz, ny, nx = vol_shape3
     bx, by, bz = block
@@ -939,34 +984,49 @@ def stripe_fused_tiles(vpad, glob_mulfac, vol_shape3, block,
     split = (
         _wav.FLOAT_PREC is jax.lax.Precision.HIGH and not interpret
     )
-    fv, desc, cbrow = pl.pallas_call(
-        functools.partial(_kernel_stripe_fused, geom=geom, split=split),
+    const_spec = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda byi, zt: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec((bz, 1, by, Win), in_map, memory_space=pltpu.VMEM),
+        const_spec((bz, bz)),
+        const_spec((by, by)),
+        const_spec((Win, W)),
+        const_spec((W, NL)),
+        const_spec((NL, W)),
+    ]
+    out_specs = [
+        pl.BlockSpec((bz, 1, by, W), in_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((bz, 1, by, W), in_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((bz, 1, by, NL), in_map, memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((nzp, nby, by, W), jnp.float32),
+        jax.ShapeDtypeStruct((nzp, nby, by, W), jnp.int32),
+        jax.ShapeDtypeStruct((nzp, nby, by, NL), jnp.int32),
+    ]
+    inputs = [v4, opz, opy, opxt, jnp.asarray(ex), jnp.asarray(sp)]
+    if use_local:
+        kernel = _kernel_stripe_fused_local
+        in_specs += [const_spec((W, NL)), const_spec((1, 1))]
+        inputs += [jnp.asarray(sp.T.copy()), mf]  # group-sum one-hot; scale
+        out_specs.append(
+            pl.BlockSpec((1, 1, 8, NL), lambda byi, zt: (zt, byi, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((nzp // bz, nby, 8, NL), jnp.float32)
+        )
+    else:
+        kernel = _kernel_stripe_fused
+        in_specs.append(const_spec((1, 1)))
+        inputs.append(mf)
+    outs = pl.pallas_call(
+        functools.partial(kernel, geom=geom, split=split),
         grid=(nby, nbz),
-        in_specs=[
-            pl.BlockSpec((bz, 1, by, Win), in_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bz, bz), lambda byi, zt: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((by, by), lambda byi, zt: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Win, W), lambda byi, zt: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((W, NL), lambda byi, zt: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((NL, W), lambda byi, zt: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda byi, zt: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((bz, 1, by, W), in_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bz, 1, by, W), in_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bz, 1, by, NL), in_map, memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((nzp, nby, by, W), jnp.float32),
-            jax.ShapeDtypeStruct((nzp, nby, by, W), jnp.int32),
-            jax.ShapeDtypeStruct((nzp, nby, by, NL), jnp.int32),
-        ),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[
             pltpu.VMEM((TRS, Win), jnp.float32),  # z result
             pltpu.VMEM((TRS, Win), jnp.float32),  # y result
@@ -979,23 +1039,28 @@ def stripe_fused_tiles(vpad, glob_mulfac, vol_shape3, block,
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(v4, opz, opy, opxt, jnp.asarray(ex), jnp.asarray(sp), mf)
+    )(*inputs)
+    fv, desc, cbrow = outs[0], outs[1], outs[2]
     return (
         fv.reshape(nzp * nyp, W),
         desc.reshape(nzp * nyp, W),
         cbrow.reshape(nzp * nyp, NL),
+        outs[3][:, :, 0, :] if use_local else None,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("vol_shape3", "block", "interpret")
+    jax.jit,
+    static_argnames=("vol_shape3", "block", "use_local", "interpret"),
 )
 def stripe_fused_encode(vol, glob_mulfac, vol_shape3, block,
-                        interpret=False):
+                        use_local=False, interpret=False):
     """Fully fused stripe producer: RAW volume in, (fv_plane, desc,
-    cbrow, chunk_bytes, sizes, raw, counts) out — subsumes
+    cbrow, chunk_bytes, sizes, raw, counts, mf) out — subsumes
     _stage_w_stripe + tokenize_desc_stripe_fast in one kernel pass plus
-    the XLA pad."""
+    the XLA pad.  With `use_local`, glob_mulfac is the SCALE and mf is
+    the per-block mulfac table (nnn,) (else None — one code path for
+    both RMS modes, like CvxCompress.cpp:343-348)."""
     from . import wavelet
 
     nz, ny, nx = vol_shape3
@@ -1012,13 +1077,16 @@ def stripe_fused_encode(vol, glob_mulfac, vol_shape3, block,
         vpad = jnp.pad(
             vol, ((0, nzp - nz), (0, nyp - ny), (0, nxp2 - nx))
         ).reshape(nzp * nyp, nxp2)
-    fv, desc, cbrow = stripe_fused_tiles(
-        vpad, glob_mulfac, vol_shape3, block, interpret=interpret
+    fv, desc, cbrow, mf = stripe_fused_tiles(
+        vpad, glob_mulfac, vol_shape3, block, use_local=use_local,
+        interpret=interpret,
     )
     cb, sizes, raw, counts = _stripe_accounting(
         cbrow, vol_shape3, block
     )
-    return fv, desc, cbrow, cb, sizes, raw, counts
+    if mf is not None:
+        mf = mf[:, :, :nbx].reshape(-1)  # drop phantom x-pad columns
+    return fv, desc, cbrow, cb, sizes, raw, counts, mf
 
 
 def _stripe_accounting(cbrow, vol_shape3, block):

@@ -158,10 +158,38 @@ def test_block_kernel_matches_two_kernel_path(rng):
     fv1, d1, cb1, s1, r1, c1 = fc.tokenize_desc_fused(
         v, mf, shape, block, interpret=True
     )
-    fv2, d2, cb2, s2, r2, c2 = fc.tokenize_desc_block(
+    fv2, d2, cb2, s2, r2, c2, mf2 = fc.tokenize_desc_block(
         v, mf, shape, block, interpret=True
     )
+    assert mf2 is None
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
     np.testing.assert_array_equal(np.asarray(fv1), np.asarray(fv2))
     np.testing.assert_array_equal(np.asarray(cb1), np.asarray(cb2))
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_block_kernel_local_rms(monkeypatch, rng):
+    """Local-RMS through the whole-block kernel: the in-kernel per-block
+    RMS (z-slice-ordered f32 accumulation) matches the staged block-major
+    path's mulfacs to ~1 ulp, and the container decodes to within one
+    quantization step of the staged local path's decode."""
+    import cvxcompress_tpu.container as ctn
+
+    _interpret_kernels(monkeypatch)
+    shape, block = (128, 128, 256), (128, 128, 128)
+    vol = make_sinusoid_volume(*shape, periods=2)
+    vol = vol + (rng.standard_normal(shape) * 1e-3).astype(np.float32)
+    ref, _ = jcodec.compress(vol, 1e-2, block=block,
+                             use_local_rms=True)  # staged CPU path
+    monkeypatch.setattr(jcodec, "use_pallas", lambda: True)
+    monkeypatch.setenv("CVX_FUSED_W", "block")
+    got, _ = jcodec.compress(vol, 1e-2, block=block, use_local_rms=True)
+    mref = ctn.unpack(ref)[2]
+    mgot = ctn.unpack(got)[2]
+    np.testing.assert_allclose(mgot, mref, rtol=1e-5)
+    a = jcodec.decompress(ref, engine="host")
+    b = jcodec.decompress(got, engine="host")
+    step = (1.0 / np.abs(mref[mref != 0])).max()
+    assert np.abs(a - b).max() <= step + 1e-30
+    err = np.linalg.norm(b - vol) / np.linalg.norm(vol)
+    assert err < 2e-2

@@ -557,6 +557,35 @@ def test_stripe_seg_local_rms(monkeypatch, rng):
     assert np.abs(a - b).max() <= step + 1e-30
 
 
+def test_stripe_fused_local_rms(monkeypatch, rng):
+    """Local-RMS through the FUSED stripe kernel (per-block RMS computed
+    in-VMEM between the cascades and the tokenize): self-consistent with
+    the staged local path within one quantization step (the in-kernel
+    sublane-sum reduction order differs from the staged jnp.sum — the
+    same documented ~1 ulp mulfac deviation as staged-vs-block-major),
+    and the stored blkmulfac table matches the staged one to ~1 ulp."""
+    shape, block = (64, 96, 96), (32, 32, 32)
+    _interpret_kernels(monkeypatch)
+    vol = make_sinusoid_volume(*shape, periods=3)
+    vol = vol + (rng.standard_normal(shape) * 1e-3).astype(np.float32)
+    monkeypatch.setattr(jcodec, "use_pallas", lambda: True)
+    monkeypatch.setenv("CVX_STRIPE", "1")
+    monkeypatch.setenv("CVX_STRIPE_FUSED", "0")  # staged local path
+    ref, _ = jcodec.compress(vol, 1e-2, block=block, use_local_rms=True)
+    monkeypatch.setenv("CVX_STRIPE_FUSED", "1")  # fused local path
+    got, _ = jcodec.compress(vol, 1e-2, block=block, use_local_rms=True)
+    mref = ctn.unpack(ref)[2]
+    mgot = ctn.unpack(got)[2]
+    np.testing.assert_allclose(mgot, mref, rtol=1e-5)
+    a = jcodec.decompress(ref, engine="host")
+    b = jcodec.decompress(got, engine="host")
+    step = (1.0 / np.abs(mref[mref != 0])).max()
+    assert np.abs(a - b).max() <= step + 1e-30
+    # and the fused-local roundtrip holds the codec's quality contract
+    err = np.linalg.norm(b - vol) / np.linalg.norm(vol)
+    assert err < 2e-2
+
+
 def test_stripe_fused_container_parity_sinusoid(monkeypatch):
     """The fused stripe mega-kernel (x/y/z + scale + tokenize in one
     pass) emits the same container as the staged seg path on the CI
@@ -637,3 +666,37 @@ def test_caps_cache_overflow_repacks(monkeypatch, rng):
     np.testing.assert_array_equal(np.asarray(ref_q), np.asarray(d_q))
     np.testing.assert_array_equal(np.asarray(ref_d), np.asarray(d_d))
     np.testing.assert_array_equal(np.asarray(ref_q), np.asarray(d_q2))
+
+
+def test_stripe_fused_inverse_matches_staged(monkeypatch, rng):
+    """The fused stripe inverse kernel (x+y+z in one VMEM pass) matches
+    the staged x + y/z einsum inverse within the 1e-5 transform contract
+    on a random coefficient plane, including x-unpad via the clipped
+    operator and z/y edge-pad clipping."""
+    import jax.numpy as jnp
+
+    from cvxcompress_tpu.ops import fused_inverse as fi
+    from cvxcompress_tpu.ops import wavelet
+
+    shape, block = (60, 90, 90), (32, 32, 32)  # unaligned on all axes
+    nz, ny, nx = shape
+    bx, by, bz = block
+    nbz, nby, nbx = -(-nz // bz), -(-ny // by), -(-nx // bx)
+    nbx2 = wavelet.padded_nbx(nbx, bx)
+    nzp, nyp, W = nbz * bz, nby * by, nbx2 * bx
+    assert fi.stripe_inverse_ok(shape, block)
+    plane = rng.standard_normal((nzp * nyp, W)).astype(np.float32)
+    # phantom x-pad columns hold zeros in real decode planes
+    plane[:, nbx * bx:] = 0.0
+    ref = wavelet.inverse_3d_volume(
+        wavelet.apply_x_inverse_rows(jnp.asarray(plane), bx), shape, block
+    )
+    got = fi.stripe_fused_inverse(
+        jnp.asarray(plane), shape, block, interpret=True
+    )
+    ref = np.asarray(ref)
+    got = np.asarray(got)
+    assert got.shape == ref.shape == shape
+    denom = np.sqrt((ref.astype(np.float64) ** 2).mean()) + 1e-30
+    rel = np.sqrt(((got - ref).astype(np.float64) ** 2).mean()) / denom
+    assert rel < 1e-5, rel

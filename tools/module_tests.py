@@ -241,6 +241,11 @@ def stage_9_10_codec(quick):
     vol = volumes.radial_volume(51 if quick else 101, 101, 151)
     print(f"{DIM}  [9/10] codec on radial volume {vol.shape}:{END}")
     ok = True
+    # scale-appropriate bars: at scale 1e-1 the measured errors are
+    # 0.7-1.8e-2 and ratios 42-312 across both shapes (round 4) — the
+    # bars give ~2x margin, so a broken quantizer (wrong scale, wrong
+    # truncation, dead token class) cannot pass
+    ratio_floor = {8: 25.0, 16: 55.0, 32: 95.0, 64: 150.0}
     for bs in ([32] if quick else [8, 16, 32, 64]):
         t = prof.Timer()
         with t.stage("c"):
@@ -248,12 +253,12 @@ def stage_9_10_codec(quick):
         with t.stage("d"):
             out = cvx.decompress(data)
         err = np.linalg.norm(out - vol) / np.linalg.norm(vol)
-        ok &= err < 0.2
+        ok &= err < 4e-2 and ratio > ratio_floor[bs]
         print(f"      {bs:3}^3: ratio {ratio:7.2f}:1"
               f"  compress {t.report('c', vol.size)['mcells_s']:7.1f} MC/s"
               f"  decompress {t.report('d', vol.size)['mcells_s']:7.1f} MC/s"
               f"  err {err:.2e}")
-    check("[9] compress throughput + quality", ok)
+    check("[9] compress quality (err < 4e-2, per-size ratio floors)", ok)
     check("[10] decompress throughput (actually measured)", ok)
 
 
