@@ -309,42 +309,59 @@ def _kernel_block(v_ref, opz_ref, opxt_ref, opy_ref, mf_ref, fv_ref,
     _block_tokenize_tail(fv_ref, desc_ref)
 
 
-def _kernel_block_local(v_ref, opz_ref, opxt_ref, opy_ref, sc_ref, fv_ref,
-                        desc_ref, mfo_ref, sA, *, split):
-    """Local-RMS whole-block variant: the block's coefficient RMS is
-    accumulated between the cascades and the tokenize (the coefficients
-    are already VMEM-resident — CvxCompress.cpp:343-348 computes it on
-    the transform output), then an in-VMEM scale pass applies the block
-    mulfac.  sc_ref carries `scale`; the mulfac leaves via mfo_ref for
-    the container's blkmulfac table."""
+def _kernel_block_casc_local(v_ref, opz_ref, opxt_ref, opy_ref, sc_ref,
+                             fv_ref, mfo_ref, sA, srow, *, split):
+    """Local-RMS L1 kernel: cascades + per-block RMS, NO tokenize.
+
+    The block's coefficient RMS is computed while the coefficients are
+    VMEM-resident (CvxCompress.cpp:343-348 computes it on the transform
+    output).  The tokenize cannot ride in the same kernel: combining ANY
+    reduction with the unrolled tokenize tail crosses a Mosaic compile
+    cliff (tpu_compile_helper dies after ~86 s, no diagnostics —
+    round 4 bisect: cascades+reduce alone OK, tokenize+dummy-passes
+    alone OK, any reduce+tokenize combination fails), so local mode
+    runs as TWO kernels with one extra fv read+write pass (~0.6 ms at
+    384³).  sc_ref carries `scale`; the per-block mulfac leaves via
+    mfo_ref (broadcast over one (8, 128) tile — Mosaic's minimum)."""
     opz = opz_ref[:]
     opxt = opxt_ref[:]
     opy = opy_ref[:]
     for y in range(B):
         t = v_ref[:, y, :]
         t = tp.mxu_dot3(opz, t, split)
-        t = tp.mxu_dot3(t, opxt, split)
-        sA[y, :, :] = t
+        sA[y, :, :] = tp.mxu_dot3(t, opxt, split)
     for z in range(B):
-        fv_ref[z * B : (z + 1) * B, :] = tp.mxu_dot3(opy, sA[:, z, :], split)
-    # Σx² over the resident coefficients in TR sub-tiles.  The reduce
-    # accumulates a (1, 128) lane row — chaining SCALAR full-reduces
-    # (per y-slice or per sub-tile) kills the Mosaic compile outright
-    # (round 4: tpu_compile_helper exit 1; the lone final jnp.sum of the
-    # small row is fine)
-    ncpb = B * B * B // 128
-    ssrow = jnp.zeros((1, 128), jnp.float32)
-    for t in range(ncpb // tp.TR):
-        blkv = fv_ref[t * tp.TR : (t + 1) * tp.TR, :]
-        ssrow = ssrow + jnp.sum(blkv * blkv, axis=0, keepdims=True)
-    rms = jnp.sqrt(jnp.sum(ssrow) / jnp.float32(B * B * B))
+        t = tp.mxu_dot3(opy, sA[:, z, :], split)
+        fv_ref[z * B : (z + 1) * B, :] = t
+        srow[z : z + 1, :] = jnp.sum(t * t, axis=0, keepdims=True)
+    rms = jnp.sqrt(jnp.sum(srow[:]) / jnp.float32(B * B * B))
     mf = jnp.float32(1.0) / (rms * sc_ref[0, 0])
     mf = jnp.where(rms == 0.0, jnp.float32(1.0), mf)
     mf = jnp.where(jnp.isfinite(mf), mf, jnp.float32(1.0))
-    # Mosaic requires >= (8, 128) output tiles: the scalar leaves
-    # broadcast over one tile (tiny; the wrapper reads [0, 0])
     mfo_ref[0, :, :] = jnp.full((8, 128), mf, jnp.float32)
-    _block_tokenize_tail(fv_ref, desc_ref, mf=mf)
+
+
+def _kernel_scale_tok(v_ref, w_ref, mf_ref, mfn_ref, fv_ref, desc_ref,
+                      carry_ref, *, ncpb):
+    """Local-RMS L2 kernel: per-TR-tile scale + tokenize of the UNSCALED
+    coefficient plane (streamed like _kernel_ytok, minus the y dot).
+
+    mf_ref / mfn_ref carry THIS tile's and the NEXT tile's block mulfac
+    (block-constant per tile since TR divides cpb); the lookahead window
+    is scaled with the next tile's mulfac — the identical multiply that
+    tile will run, so run_end never desynchronizes."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        carry_ref[0] = -1
+
+    fv = v_ref[:] * mf_ref[0, 0, 0]
+    nxt = w_ref[:] * mfn_ref[0, 0, 0]
+    desc, _cost, carry = tp._tile_desc(fv, nxt, carry_ref[0], i, ncpb)
+    carry_ref[0] = carry
+    fv_ref[:] = fv
+    desc_ref[:] = desc
 
 
 @functools.partial(
@@ -373,27 +390,85 @@ def tokenize_block_fused(vol, mulfac, vol_shape3, use_local=False,
         bxi = b % nbx
         return (bzi, byi, bxi)
 
-    out_specs = [
-        pl.BlockSpec((cpb, 128), lambda b: (b, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((cpb, 128), lambda b: (b, 0), memory_space=pltpu.VMEM),
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((nblocks * cpb, 128), jnp.float32),
-        jax.ShapeDtypeStruct((nblocks * cpb, 128), jnp.int32),
-    ]
     if use_local:
-        kernel = _kernel_block_local
-        out_specs.append(
-            pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM)
-        )
-        out_shape.append(
-            jax.ShapeDtypeStruct((nblocks, 8, 128), jnp.float32)
-        )
-    else:
-        kernel = _kernel_block
-    outs = pl.pallas_call(
-        functools.partial(kernel, split=split),
+        # TWO kernels (see _kernel_block_casc_local's compile-cliff note)
+        fvu, mfo = pl.pallas_call(
+            functools.partial(_kernel_block_casc_local, split=split),
+            grid=(nblocks,),
+            in_specs=[
+                pl.BlockSpec((B, B, B), in_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, B), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, B), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, B), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((cpb, 128), lambda b: (b, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((nblocks * cpb, 128), jnp.float32),
+                jax.ShapeDtypeStruct((nblocks, 8, 128), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((B, B, B), jnp.float32),
+                pltpu.VMEM((B, 128), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(vol, opz, opxt, opy, mf)
+        mfb = mfo[:, 0, 0]
+        tpb = cpb // tp.TR
+        ntiles = nblocks * tpb
+
+        def t_map(t):
+            return (t, 0)
+
+        def look_map(t):
+            return (jnp.minimum(t + 1, ntiles - 1) * (tp.TR // 8), 0)
+
+        # the mulfacs ride as L1's (nblocks, 8, 128) tiles — Mosaic's
+        # minimum tile, and (1, 1)-blocked 2D views violate the (8, 128)
+        # block-shape rule when nblocks > 1
+        def mf_map(t):
+            return (t // tpb, 0, 0)
+
+        def mfn_map(t):
+            return (jnp.minimum(t + 1, ntiles - 1) // tpb, 0, 0)
+
+        fv, desc = pl.pallas_call(
+            functools.partial(_kernel_scale_tok, ncpb=cpb),
+            grid=(ntiles,),
+            in_specs=[
+                pl.BlockSpec((tp.TR, 128), t_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, 128), look_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, 128), mf_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, 128), mfn_map,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((tp.TR, 128), t_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((tp.TR, 128), t_map, memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((nblocks * cpb, 128), jnp.float32),
+                jax.ShapeDtypeStruct((nblocks * cpb, 128), jnp.int32),
+            ),
+            scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+            interpret=interpret,
+        )(fvu, fvu, mfo, mfo)
+        return fv, desc, mfb
+
+    fv, desc = pl.pallas_call(
+        functools.partial(_kernel_block, split=split),
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((B, B, B), in_map, memory_space=pltpu.VMEM),
@@ -402,8 +477,16 @@ def tokenize_block_fused(vol, mulfac, vol_shape3, use_local=False,
             pl.BlockSpec((B, B), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=tuple(out_specs),
-        out_shape=tuple(out_shape),
+        out_specs=(
+            pl.BlockSpec((cpb, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cpb, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nblocks * cpb, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nblocks * cpb, 128), jnp.int32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((B, B, B), jnp.float32),
         ],
@@ -412,8 +495,7 @@ def tokenize_block_fused(vol, mulfac, vol_shape3, use_local=False,
         ),
         interpret=interpret,
     )(vol, opz, opxt, opy, mf)
-    fv, desc = outs[0], outs[1]
-    return fv, desc, (outs[2][:, 0, 0] if use_local else None)
+    return fv, desc, None
 
 
 @functools.partial(
