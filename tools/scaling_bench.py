@@ -75,9 +75,36 @@ def shard_stats(data, nnn, n):
     }
 
 
+def measured_rates(bench_path):
+    """Device GC/s from a recorded BENCH json (the driver's artifact or
+    bench.py's incremental BENCH_partial.json), keyed off the flagship
+    configs; falls back to conservative round-3 floors when absent."""
+    rates = {"compress": 2.3e9, "decompress": 6.0e9, "source": "floor"}
+    try:
+        with open(bench_path) as f:
+            doc = json.load(f)
+        detail = doc.get("detail", doc)
+        a = detail.get("A_ref_ci_32c", {})
+        c = a.get("device_compress_mcells_s")
+        d = a.get("device_decompress_mcells_s")
+        if c and d:
+            rates = {"compress": c * 1e6, "decompress": d * 1e6,
+                     "source": bench_path}
+    except Exception:
+        pass
+    return rates
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="1,2,4,8")
+    ap.add_argument("--bench", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_partial.json",
+    ), help="recorded BENCH json supplying the device rates")
+    ap.add_argument("--out", default=None,
+                    help="also write the report to this path (the"
+                         " per-round SCALING artifact)")
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
@@ -95,10 +122,18 @@ def main():
         "target_efficiency": 0.85,
         "cases": {},
     }
-    # real-chip per-volume device pipeline seconds (BENCH round 3 class):
-    # used only to model comm exposure; measured wall times below are
-    # whatever the present mesh gives
-    DEV_S_PER_GC = {"compress": 1.0 / 2.3e9, "decompress": 1.0 / 8.0e9}
+    # real-chip per-volume device rates from the RECORDED bench artifact
+    # (used only to model comm exposure; measured wall times below are
+    # whatever the present mesh gives)
+    rates = measured_rates(args.bench)
+    report["device_rates"] = {
+        k: (round(v / 1e9, 2) if k != "source" else v)
+        for k, v in rates.items()
+    }
+    DEV_S_PER_GC = {
+        "compress": 1.0 / rates["compress"],
+        "decompress": 1.0 / rates["decompress"],
+    }
     DCN_BPS = 25e9  # conservative per-host DCN gather bandwidth
 
     ok = True
@@ -168,7 +203,11 @@ def main():
         report["cases"][tag] = case
 
     report["all_projections_meet_target"] = ok
-    print(json.dumps(report, indent=1))
+    doc = json.dumps(report, indent=1)
+    print(doc)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(doc + "\n")
     return 0 if ok else 1
 
 
