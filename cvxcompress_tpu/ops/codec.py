@@ -1317,7 +1317,11 @@ def _decompress_many_prepare(datas):
     cap_key = (geom, local)
     cap = _DEC_CAPS.get(cap_key, 0)
     if need > cap:
-        cap = max(rle_device.bucket(need, lo=8), need)
+        # 64-seg granularity, not power-of-2: the blob upload pays real
+        # transfer time per padded byte (pow-2 caps averaged ~1.5x the
+        # live segs = ~25% of the whole upload), and the sticky cap only
+        # grows, so compile count stays bounded
+        cap = max(-(-need // 64) * 64, 8)
         _DEC_CAPS[cap_key] = cap
 
     blob_h = _plan_rows(plans, cap, nnn, local)
