@@ -644,22 +644,28 @@ def pack_active_stripe_seg(fv3, d3, cbrow, raw, tcap, lcap, bcap,
     else:
         meta_row = sid_flat
     # ONE compaction over the subrow domain carries the subrow index,
-    # the sort key (or segment id), and the subrow's live bytes
+    # the sort key (or segment id), and the subrow's live bytes (the
+    # block-order path drops the segment-bytes row — unused there)
     key2d = meta_row[:, None] + (spi if block_order else 0)
-    stacked = jnp.stack([
+    rows = [
         jnp.arange(nsr, dtype=I32),
         jnp.broadcast_to(key2d, (tcap * rpc, spseg)).reshape(nsr),
-        jnp.broadcast_to(sb_flat[:, None], (tcap * rpc, spseg)).reshape(nsr),
         sub_bytes,
-    ])
+    ]
+    if not block_order:
+        rows.insert(2, jnp.broadcast_to(
+            sb_flat[:, None], (tcap * rpc, spseg)
+        ).reshape(nsr))
+    stacked = jnp.stack(rows)
+    nrows = stacked.shape[0]
     packed2, count2 = pack.compact_live(
-        (stacked,), jnp.broadcast_to(sub_live, (4, nsr)),
+        (stacked,), jnp.broadcast_to(sub_live, (nrows, nsr)),
         pack.ceil_log2(nsr),
     )
     lcount = count2[0]
     live = jnp.arange(nsr, dtype=I32) < lcount
     lidx = _fit(jnp.where(live, packed2[0][0], 0), lcap)
-    blive = _fit(jnp.where(live, packed2[0][3], 0), lcap)
+    blive = _fit(jnp.where(live, packed2[0][nrows - 1], 0), lcap)
     if block_order:
         imax = jnp.iinfo(I32).max
         key = _fit(jnp.where(live, packed2[0][1], imax), lcap, fill=imax)
