@@ -353,34 +353,63 @@ def bench_sustained(vol, block, scale, n_vols=8, batch=4):
     return t_c, t_d
 
 
-def bench_snapshots(vol, block, scale, rtt, iters=6):
-    """DeviceSnapshotStack append/reconstruct throughput (HBM-resident)."""
+def bench_snapshots(vol, block, scale, iters=6):
+    """DeviceSnapshotStack append/reconstruct throughput (HBM-resident).
+
+    Timed by TWO-LENGTH DIFFERENCING like everything else (PERF_NOTES
+    rule: never subtract a measured RTT from a short timed loop — the
+    tunnel RTT jitters by several ms).  t = (T(2k) - T(k)) / k cancels
+    the constant dispatch+fetch offset exactly.
+    """
     import jax
 
     from cvxcompress_tpu.snapshots import DeviceSnapshotStack
 
+    k = max(2, iters // 2)
     store = DeviceSnapshotStack(vol.shape, scale, block=block,
-                                max_pending=iters + 1)
+                                max_pending=2 * k + 1)
     vd = jax.device_put(vol)
-    i = store.append(vd)
+    i0 = store.append(vd)
     fetch1(store._snaps[-1][0])  # pre-warm the payload-shape fetch path
-    fetch1(store.get(i))
+    fetch1(store.get(i0))
     store.pop()
-    vols = [vd * (1.0 + 1e-6 * j) for j in range(iters)]
+    vols = [vd * (1.0 + 1e-6 * j) for j in range(2 * k)]
     fetch1(vols[-1])
 
-    t0 = time.perf_counter()
-    for v in vols:
-        store.append(v)
-    fetch1(store._snaps[-1][0])
-    t_app = max((time.perf_counter() - t0 - rtt) / iters, 1e-9)
-    store.flush()
-    t0 = time.perf_counter()
-    last = None
-    for _ in range(iters):
-        last = store.pop()
-    fetch1(last)
-    t_pop = max((time.perf_counter() - t0 - rtt) / iters, 1e-9)
+    def drain():
+        store.flush()
+        del store._snaps[:]
+
+    def t_append(n):
+        drain()
+        t0 = time.perf_counter()
+        for v in vols[:n]:
+            store.append(v)
+        fetch1(store._snaps[-1][0])
+        return time.perf_counter() - t0
+
+    def t_reconstruct(n):
+        drain()
+        for v in vols[:n]:
+            store.append(v)
+        store.flush()
+        t0 = time.perf_counter()
+        last = None
+        for _ in range(n):
+            last = store.pop()
+        fetch1(last)
+        return time.perf_counter() - t0
+
+    def diff(f, reps=2):
+        t1 = min(f(k) for _ in range(reps))
+        t2 = min(f(2 * k) for _ in range(reps))
+        if t2 > t1:
+            return (t2 - t1) / k
+        return t2 / (2 * k)  # upper bound, never nonsense
+
+    t_app = diff(t_append)
+    t_pop = diff(t_reconstruct)
+    drain()
     return t_app, t_pop
 
 
@@ -508,6 +537,16 @@ def main():
         "vs_baseline": round(headline / BASELINE_ROUNDTRIP, 3),
         "detail": detail,
     }
+    # the honest companion: the sustained roundtrip WITH host work
+    # included (batched stream APIs), reported at top level next to the
+    # device-only figure so the number that includes host work is the
+    # one defended each round
+    sc = a.get("pipelined_sustained_compress_mcells_s")
+    sd = a.get("pipelined_sustained_decompress_mcells_s")
+    if sc and sd:
+        sus = 2.0 / (1.0 / sc + 1.0 / sd)
+        out["sustained_roundtrip_mcells_s"] = round(sus, 1)
+        out["sustained_vs_baseline"] = round(sus / BASELINE_ROUNDTRIP, 3)
     flush_partial(detail)
     print(json.dumps(out), flush=True)
 
@@ -521,6 +560,14 @@ def run_stages(args, budget, detail, results):
     log(f"tunnel RTT: {rtt*1e3:.1f} ms")
     detail["tunnel_rtt_ms"] = round(rtt * 1e3, 1)
     flush_partial(detail)
+
+    # per-stage wall clock: the round-4 record overran its budget because
+    # the mandatory stages' costs were never measured — record them so the
+    # estimates stay honest
+    stage_s = detail.setdefault("stage_s", {})
+
+    def mark(stage_name, t_start):
+        stage_s[stage_name] = round(time.monotonic() - t_start, 1)
 
     if args.quick:
         shape_a, block_a = (160, 192, 160), (32, 32, 32)
@@ -541,21 +588,29 @@ def run_stages(args, budget, detail, results):
             continue
         from cvxcompress_tpu.ops import codec as jcodec
 
+        t_stage = time.monotonic()
         vol = make_volume(*shape)
         ncells = vol.size
         data, ratio, err, snr = bench_quality(vol, block, scale)
+        mark(f"{name}_quality", t_stage)
         host_asm = jcodec.last_host_assembly_s
         log(f"[{name}] ratio={ratio:.0f} err={err:.2e} snr={snr:.1f}dB")
-        if name == "A_ref_ci_32c" and not args.quick:
+        if name == "A_ref_ci_32c":
             # the reference CI bars, asserted on the reference CI input
             # (Test_With_Generated_Input.cpp:121-122); --quick shrinks the
-            # volume, which legitimately shifts quality off the bars
-            assert err < 2e-4 and snr > 75.0, (
+            # volume, which legitimately shifts quality off the full-size
+            # bars — quick mode asserts scale-appropriate ones (measured
+            # SNR 74.3 dB / err 1.93e-4 on the quick volume) so CI's
+            # bench smoke still catches a broken quantizer
+            e_bar, s_bar = (4e-4, 70.0) if args.quick else (2e-4, 75.0)
+            assert err < e_bar and snr > s_bar, (
                 f"quality bars FAILED: err={err:.3e} snr={snr:.1f}"
             )
 
+        t_stage = time.monotonic()
         t_c = bench_device_compress(vol, block, scale, iters)
         t_d, t_plan = bench_device_decompress(data, shape, iters)
+        mark(f"{name}_device", t_stage)
         dev_c = ncells / t_c / 1e6
         dev_d = ncells / t_d / 1e6
         log(f"[{name}] device compress {t_c*1e3:.2f} ms = {dev_c:.0f} MC/s "
@@ -577,6 +632,7 @@ def run_stages(args, budget, detail, results):
         flush_partial(detail)
 
         if budget.admit(f"{name}_sustained", 45):
+            t_stage = time.monotonic()
             t_sc, t_sd = bench_sustained(
                 vol, block, scale, n_vols=n_stream, batch=max(2, n_stream // 2)
             )
@@ -590,11 +646,13 @@ def run_stages(args, budget, detail, results):
             results[name]["pipelined_sustained_decompress_mcells_s"] = round(
                 sus_d, 1
             )
+            mark(f"{name}_sustained", t_stage)
             flush_partial(detail)
 
         if budget.admit(f"{name}_local_rms", 40):
             # local-RMS on the FUSED paths (round-4): one code path for
             # both RMS modes, like CvxCompress.cpp:343-348
+            t_stage = time.monotonic()
             t_lc = bench_device_compress(
                 vol, block, scale, iters, use_local=True
             )
@@ -604,15 +662,18 @@ def run_stages(args, budget, detail, results):
             results[name]["device_compress_local_rms_mcells_s"] = round(
                 loc_c, 1
             )
+            mark(f"{name}_local_rms", t_stage)
             flush_partial(detail)
 
         if budget.admit(f"{name}_snapshots", 30):
-            t_app, t_pop = bench_snapshots(vol, block, scale, rtt, iters)
+            t_stage = time.monotonic()
+            t_app, t_pop = bench_snapshots(vol, block, scale, iters)
             snap_a, snap_p = ncells / t_app / 1e6, ncells / t_pop / 1e6
             log(f"[{name}] snapshot stack append {snap_a:.0f} MC/s, "
                 f"reconstruct {snap_p:.0f} MC/s")
             results[name]["snapshot_append_mcells_s"] = round(snap_a, 1)
             results[name]["snapshot_reconstruct_mcells_s"] = round(snap_p, 1)
+            mark(f"{name}_snapshots", t_stage)
             flush_partial(detail)
 
         if args.full and budget.admit(f"{name}_host_stream", 180):
@@ -626,7 +687,9 @@ def run_stages(args, budget, detail, results):
             flush_partial(detail)
 
     if not args.quick and budget.admit("block_sweep", 40):
+        t_stage = time.monotonic()
         bench_block_sweep(budget, detail)
+        mark("block_sweep", t_stage)
 
 
 if __name__ == "__main__":

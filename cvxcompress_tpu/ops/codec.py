@@ -503,6 +503,21 @@ def _derive_caps(counts_h, seg):
     )
 
 
+def _derive_caps_fused(counts_h):
+    """(acap, lcap) for the fused tokenize+compact path (pack_compacted)."""
+    from . import pack_pallas
+
+    acount, lcount = int(counts_h[0]), int(counts_h[1])
+    return (
+        max(pack_pallas.GR, rle_device.bucket(acount)),
+        rle_device.bucket(lcount),
+    )
+
+
+def _caps_ok_fused(counts_h, caps):
+    return int(counts_h[0]) <= caps[0] and int(counts_h[1]) <= caps[1]
+
+
 def _caps_ok(counts_h, caps, seg):
     if seg:
         return (
@@ -624,14 +639,44 @@ def _compress_stage(vol, scale, block, use_local_rms, glob_mulfac):
         cb, sizes, raw, counts, fvc, dscc, meta = tp.tokenize_compact_fast(
             fvp, n, cells // chunk, chunk
         )
-        acount, lcount = (int(v) for v in np.asarray(counts))
-        acap = max(pack_pallas.GR, rle_device.bucket(acount))
-        lcap = rle_device.bucket(lcount)
-        subrows, aidx, abytes = rle_device.pack_compacted(
-            fvc, dscc, meta, counts[0], acap, lcap
+        # sticky caps, same contract as the seg/default branch below: only
+        # the stream's FIRST volume (or a cap overflow) pays the counts
+        # readback round trip, so the batched stream APIs keep their
+        # one-fetch-per-batch pipelining on this path too
+        cap_key = (
+            tuple(vol.shape), block, bool(use_local_rms), chunk, "fused",
         )
-        ctx.update(seg=False, gcfg=None, caps=None, repack=None,
-                   acount=acount)
+        caps = _CAPS_CACHE.get(cap_key)
+        if caps is None:
+            caps = _derive_caps_fused(np.asarray(counts))
+            _CAPS_CACHE[cap_key] = caps
+
+        def repack(caps2):
+            """Rare cap-overflow path: recompute the encode and repack
+            (mirrors the seg/default branch — nothing full-size stays
+            pinned in HBM between stage and finish)."""
+            fvp2, mf2 = _stage_w_pallas(
+                jnp.asarray(vol), jnp.float32(glob_mulfac),
+                jnp.float32(scale), use_local_rms, (bx, by, bz), chunk,
+            )
+            cb2, sizes2, raw2, counts2, fvc2, dscc2, meta2 = (
+                tp.tokenize_compact_fast(fvp2, n, cells // chunk, chunk)
+            )
+            sub2, ai2, ab2 = rle_device.pack_compacted(
+                fvc2, dscc2, meta2, counts2[0], caps2[0], caps2[1]
+            )
+            blob2 = np.asarray(_bundle_outputs(
+                sub2, ai2, ab2, sizes2, raw2, counts2, mf2
+            ))
+            return blob2, (
+                tuple(sub2.shape), int(ai2.shape[0]), int(ab2.shape[0])
+            )
+
+        subrows, aidx, abytes = rle_device.pack_compacted(
+            fvc, dscc, meta, counts[0], caps[0], caps[1]
+        )
+        ctx.update(seg=False, gcfg=None, caps=caps, repack=repack,
+                   cap_key=cap_key)
     else:
         coeff_chunks, desc, chunk_bytes, sizes, raw, counts, mf, gcfg = (
             _encode_device(
@@ -731,7 +776,17 @@ def _compress_finish(ctx, blob_h):
     nz, ny, nx = vol.shape
     gcfg = ctx["gcfg"]
     if fused:
-        acount = ctx["acount"]
+        caps = ctx["caps"]
+        if not _caps_ok_fused(counts_h, caps):
+            caps = _derive_caps_fused(counts_h)
+            blob2, (sub_shape, na2, nb2) = ctx["repack"](caps)
+            sh2 = dict(ctx["shapes"])
+            sh2["subrows"] = sub_shape
+            sh2["na"], sh2["nb"] = na2, nb2
+            (subrows_h, aidx_h, abytes_h, sizes_h, raw_h, counts_h,
+             mf_h) = _split_blob(blob2, sh2)
+        _CAPS_CACHE[ctx["cap_key"]] = _derive_caps_fused(counts_h)
+        acount = int(counts_h[0])
     else:
         caps = ctx["caps"]
         if not _caps_ok(counts_h, caps, seg):
@@ -945,9 +1000,73 @@ def _sparse_to_volume(payload_rows, invmap, vol_shape, block, chunk):
     return wavelet.inverse_3d_volume(rows, vol_shape, block)
 
 
-@functools.partial(jax.jit, static_argnames=("vol_shape", "block", "chunk"))
-def _decompress_sparse(payload_rows, invmap, vol_shape, block, chunk):
+def _sparse_to_plane(payload_rows, invmap, vol_shape, block, chunk, pad_x):
+    """Chunk-sparse coefficients -> volume-order COEFFICIENT plane.
+
+    The same index-transpose row-gather expand as _sparse_to_volume
+    (step 2 there) WITHOUT the pre-applied x inverse: this feeds the
+    fused inverse kernels, which run all three cascades themselves in
+    one VMEM residency.  `pad_x` appends phantom all-zero x-block
+    columns up to 128-lane alignment (the stripe kernel's plane
+    contract, wavelet.padded_nbx) — the pad rides the gather as an
+    index constant pointing at the shared zero row, not a data copy.
+    """
+    nz, ny, nx = vol_shape
+    bx, by, bz = block
+    nbz, nby, nbx = -(-nz // bz), -(-ny // by), -(-nx // bx)
+    w = min(bx, chunk)
+    rpc = chunk // w
+    ppb = bx // w
+    acap = payload_rows.shape[0]
+    nbx2 = wavelet.padded_nbx(nbx, bx) if pad_x else nbx
+
+    padded = jnp.concatenate(
+        [payload_rows, jnp.zeros((1, chunk), jnp.float32)], axis=0
+    )
+    sub = padded.reshape((acap + 1) * rpc, w)
+    g = invmap[:, None] * rpc + jnp.arange(rpc, dtype=jnp.int32)[None, :]
+    g = g.reshape(nbz, nby, nbx, bz, by, ppb)
+    if nbx2 > nbx:
+        g = jnp.pad(
+            g, ((0, 0), (0, 0), (0, nbx2 - nbx), (0, 0), (0, 0), (0, 0)),
+            constant_values=acap * rpc,  # a sub-row of the zero pad row
+        )
+    g = g.transpose(0, 3, 1, 4, 2, 5)
+    rows = jnp.take(sub, g.reshape(-1), axis=0)
+    return rows.reshape(nbz * bz * nby * by, nbx2 * bx)
+
+
+def _sparse_inverse(payload_rows, invmap, vol_shape, block, chunk, on_tpu):
+    """In-trace: chunk-sparse rows -> volume, fused inverse when available.
+
+    Routes through the SAME fused inverse kernels as the device decode
+    engine (_inverse_from_plane) so snapshot reconstruction and
+    byte-stream decode share one inverse path per backend — the round-4
+    snapshot reconstruct ran the staged einsums while single-shot decode
+    ran the fused kernel (4,450 vs 7,504 MC/s at the CI config)."""
+    from . import fused_inverse as fi
+
+    if on_tpu and fi.stripe_inverse_ok(vol_shape, block):
+        plane = _sparse_to_plane(
+            payload_rows, invmap, vol_shape, block, chunk, pad_x=True
+        )
+        return fi.stripe_fused_inverse.__wrapped__(plane, vol_shape, block)
+    if on_tpu and fi.block_inverse_ok(vol_shape, block):
+        plane = _sparse_to_plane(
+            payload_rows, invmap, vol_shape, block, chunk, pad_x=False
+        )
+        return fi.block_fused_inverse.__wrapped__(plane, vol_shape, block)
     return _sparse_to_volume(payload_rows, invmap, vol_shape, block, chunk)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("vol_shape", "block", "chunk", "on_tpu")
+)
+def _decompress_sparse(payload_rows, invmap, vol_shape, block, chunk,
+                       on_tpu=False):
+    return _sparse_inverse(
+        payload_rows, invmap, vol_shape, block, chunk, on_tpu
+    )
 
 
 def _decode_payloads_host(data, hdr, blkoffs, blkmulfac, payload_base):
@@ -1321,7 +1440,7 @@ def _decompress_many_prepare(datas):
         # transfer time per padded byte (pow-2 caps averaged ~1.5x the
         # live segs = ~25% of the whole upload), and the sticky cap only
         # grows, so compile count stays bounded
-        cap = max(-(-need // 64) * 64, 8)
+        cap = -(-need // 64) * 64  # need >= 1, so cap >= 64
         _DEC_CAPS[cap_key] = cap
 
     blob_h = _plan_rows(plans, cap, nnn, local)
@@ -1396,6 +1515,6 @@ def decompress(data, engine="auto"):
     payload, invmap, _ = sparse_chunks(coeffs, cells, chunk)
     vol = _decompress_sparse(
         jnp.asarray(payload), jnp.asarray(invmap),
-        (hdr.nz, hdr.ny, hdr.nx), block, chunk,
+        (hdr.nz, hdr.ny, hdr.nx), block, chunk, on_tpu=use_pallas(),
     )
     return np.asarray(vol)

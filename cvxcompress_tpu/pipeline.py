@@ -78,15 +78,22 @@ def decompress_stream(containers, workers=6):
 
 
 def compress_batched(volumes, scale, block=(32, 32, 32),
-                     use_local_rms=False, with_ratio=False):
+                     use_local_rms=False, with_ratio=False,
+                     glob_mulfacs=None):
     """Compress a batch of same-shape volumes with ONE bundled d2h fetch.
 
     Returns a list of containers (or (container, ratio) pairs when
     `with_ratio`).  Containers are byte-identical to per-volume
     compress().  Device-resident input volumes never leave HBM.
+
+    `glob_mulfacs` (optional, one per volume) overrides the internally
+    computed global quantization factors — the sharded/multi-host layer's
+    contract (the global RMS is reduced across shards before any shard
+    compresses).
     """
     res = _codec.compress_many(
-        list(volumes), scale, block=block, use_local_rms=use_local_rms
+        list(volumes), scale, block=block, use_local_rms=use_local_rms,
+        glob_mulfacs=glob_mulfacs,
     )
     return res if with_ratio else [d for d, _ in res]
 
@@ -117,9 +124,14 @@ def _batches(items, batch):
 
 
 def compress_stream_batched(volumes, scale, block=(32, 32, 32),
-                            use_local_rms=False, batch=4, lookahead=1):
+                            use_local_rms=False, batch=4, lookahead=1,
+                            glob_mulfacs=None):
     """Batched streaming compress: yields (container, ratio) in input
     order, consuming the volume stream `batch` at a time.
+
+    `glob_mulfacs` (optional iterable, consumed in lockstep with
+    `volumes`) overrides the per-volume global quantization factors —
+    the sharded/multi-host layer's contract.
 
     DISPATCH-AHEAD pipelining: batch i+1's device pipelines dispatch
     BEFORE batch i's bundle fetch, so the d2h transfer and the host
@@ -135,11 +147,18 @@ def compress_stream_batched(volumes, scale, block=(32, 32, 32),
     import numpy as np
 
     pending = collections.deque()
+    if glob_mulfacs is None:
+        import itertools
+
+        paired = zip(volumes, itertools.repeat(None))
+    else:
+        paired = zip(volumes, glob_mulfacs)
 
     def stage(ex, chunk):
-        vols = [_codec._prep_vol(v) for v in chunk]
+        vols = [_codec._prep_vol(v) for v, _ in chunk]
         mfs = [
-            _codec._prep_mulfac(v, scale, use_local_rms, None) for v in vols
+            _codec._prep_mulfac(v, scale, use_local_rms, gmf)
+            for v, (_, gmf) in zip(vols, chunk)
         ]
         ctxs = [
             _codec._compress_stage(v, scale, block, use_local_rms, m)
@@ -160,7 +179,7 @@ def compress_stream_batched(volumes, scale, block=(32, 32, 32),
             off += nb
 
     with _cf.ThreadPoolExecutor(1) as ex:
-        for chunk in _batches(volumes, batch):
+        for chunk in _batches(paired, batch):
             pending.append(stage(ex, chunk))
             while len(pending) > lookahead:
                 yield from finish(*pending.popleft())

@@ -101,18 +101,26 @@ def _snap_sparsify(fiv, mask, ranks, acap):
     return payload, invmap
 
 
-@functools.partial(jax.jit, static_argnames=("vol_shape", "block", "chunk"))
-def _snap_decode(payload, invmap, mulfac, vol_shape, block, chunk):
+@functools.partial(
+    jax.jit, static_argnames=("vol_shape", "block", "chunk", "on_tpu")
+)
+def _snap_decode(payload, invmap, mulfac, vol_shape, block, chunk,
+                 on_tpu=False):
     from .ops import codec as _codec
 
     # dequantize the compressed-size payload, then run the exact same
-    # volume-order expand+inverse as the byte-stream decode path.  The
-    # barrier pins the dequantize rounding: without it XLA hoists the
-    # scalar multiply across the inverse matmuls ((x*s)@W -> (x@W)*s),
-    # breaking bit-parity with byte-stream decodes.
+    # expand+inverse as the byte-stream decode path — including the fused
+    # inverse kernels on TPU (_sparse_inverse routes through the same
+    # kernels as the device decode engine, so reconstruct and single-shot
+    # decode share one inverse path per backend).  The barrier pins the
+    # dequantize rounding: without it XLA hoists the scalar multiply
+    # across the inverse matmuls ((x*s)@W -> (x@W)*s), breaking
+    # bit-parity with byte-stream decodes.
     deq = payload * quant.dequant_scalefac(mulfac)
     deq = jax.lax.optimization_barrier(deq)
-    return _codec._sparse_to_volume(deq, invmap, vol_shape, block, chunk)
+    return _codec._sparse_inverse(
+        deq, invmap, vol_shape, block, chunk, on_tpu
+    )
 
 
 class DeviceSnapshotStack:
@@ -173,10 +181,13 @@ class DeviceSnapshotStack:
 
     def get(self, i):
         """Reconstruct snapshot i as a device array (no host traffic)."""
+        from .ops import codec as _codec
+
         self.flush()
         payload, invmap, mulfac, _ = self._snaps[i]
         return _snap_decode(
-            payload, invmap, mulfac, self.vol_shape, self.block, self.chunk
+            payload, invmap, mulfac, self.vol_shape, self.block, self.chunk,
+            on_tpu=_codec.use_pallas(),
         )
 
     def __len__(self):
