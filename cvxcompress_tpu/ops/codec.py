@@ -1039,18 +1039,20 @@ def _sparse_to_plane(payload_rows, invmap, vol_shape, block, chunk, pad_x):
 def _sparse_inverse(payload_rows, invmap, vol_shape, block, chunk, on_tpu):
     """In-trace: chunk-sparse rows -> volume, fused inverse when available.
 
-    Routes through the SAME fused inverse kernels as the device decode
-    engine (_inverse_from_plane) so snapshot reconstruction and
-    byte-stream decode share one inverse path per backend — the round-4
-    snapshot reconstruct ran the staged einsums while single-shot decode
-    ran the fused kernel (4,450 vs 7,504 MC/s at the CI config)."""
+    Routes through the SAME inverse path as the device decode engine
+    (_inverse_from_plane: fused kernels on TPU, staged plane einsums
+    elsewhere) so snapshot reconstruction, host-engine decompress, and
+    byte-stream device decode stay BIT-EXACT with each other per
+    backend — the round-4 snapshot reconstruct ran the staged einsums
+    while single-shot decode ran the fused kernel (4,450 vs 7,504 MC/s
+    at the CI config)."""
     from . import fused_inverse as fi
 
-    if on_tpu and fi.stripe_inverse_ok(vol_shape, block):
+    if fi.stripe_inverse_ok(vol_shape, block):
         plane = _sparse_to_plane(
             payload_rows, invmap, vol_shape, block, chunk, pad_x=True
         )
-        return fi.stripe_fused_inverse.__wrapped__(plane, vol_shape, block)
+        return _inverse_from_plane(plane, vol_shape, block, on_tpu)
     if on_tpu and fi.block_inverse_ok(vol_shape, block):
         plane = _sparse_to_plane(
             payload_rows, invmap, vol_shape, block, chunk, pad_x=False

@@ -45,6 +45,9 @@ def _load():
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
+        if os.environ.get("CVX_NATIVE") == "0":  # failure-isolation switch
+            _build_failed = True
+            return None
         if not os.path.exists(_SO_PATH) and not _build():
             _build_failed = True
             return None

@@ -15,9 +15,19 @@ TPU-native design keeps the compressed snapshots IN HBM:
         u_hat = store.get(step)    # device-only: expand + inverse wavelet
 
 Representation per snapshot: the SCALED INTEGER wavelet coefficients
-(float(trunc(mulfac*c)), exact for every reachable value) in chunk-sparse
-form — only chunks containing a surviving coefficient are stored
-((active, chunk) f32 rows plus an (nchunks,) int32 inverse map).
+(float(trunc(mulfac*c)), exact for every reachable value) in sparse row
+form — only rows containing a surviving coefficient are stored
+((active, w) f32 rows plus an (nrows,) int32 inverse map).  The row unit
+is geometry-dependent (round 5):
+
+  * stripe geometries (bx < 128, the fused-inverse envelope): rows of the
+    x-padded VOLUME-ORDER plane, width W = nbx2*bx — reconstruction is
+    ONE wide row gather straight into the fused inverse kernel's input
+    layout.  The previous chunk-sparse expand gathered (R*T, bx)-wide
+    rows (4x lane-padded at bx=32) and then relayouted: 9.4 ms vs the
+    byte-decode engine's 6.3 at the CI config (round-5 bisect).
+  * other geometries: block-major chunks of `chunk` cells (unchanged).
+
 Reconstruction uses the byte-stream codec's dequantization (i * (1/mulfac),
 Run_Length_Encode_Slow.cpp:392); the same transform and the same truncating
 quantizer, except that the stack's mulfac comes from a float32 device
@@ -101,6 +111,67 @@ def _snap_sparsify(fiv, mask, ranks, acap):
     return payload, invmap
 
 
+@functools.partial(jax.jit, static_argnames=("block",))
+def _snap_encode_plane(vol, scale, block):
+    """vol -> (fiv plane rows (R, W) f32, mask, ranks, acount, mulfac).
+
+    Plane-row twin of _snap_encode for stripe geometries: the forward
+    wavelet runs in VOLUME ORDER (x-padded, wavelet.forward_3d_volume —
+    the same plane layout the fused inverse kernels consume), so the
+    sparse unit is a full (z, y) plane row and reconstruction needs no
+    relayout at all.  fv/iv use the identical truncating quantizer as
+    the byte codec (CvxCompress.cpp quantize contract)."""
+    ss = jnp.sum(jnp.square(vol.astype(jnp.float32)))
+    rms = jnp.sqrt(ss / vol.size)
+    glob_mulfac = quant.mulfac_from_rms(rms, scale)
+    plane = wavelet.forward_3d_volume(
+        vol, vol.shape, block, pad_x_blocks=True
+    )
+    fv, iv = quant.quantize(plane, glob_mulfac)
+    fiv = iv.astype(jnp.float32)
+    mask = (iv != 0).any(axis=1)
+    ranks = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    acount = mask.sum(dtype=jnp.int32)
+    return fiv, mask, ranks, acount, glob_mulfac
+
+
+@functools.partial(
+    jax.jit, static_argnames=("vol_shape", "block", "on_tpu")
+)
+def _snap_decode_plane(payload, invmap, mulfac, vol_shape, block,
+                       on_tpu=False):
+    from .ops import codec as _codec
+
+    # dequantize the compressed-size payload rows (same barrier contract
+    # as _snap_decode: pin the scalar multiply before the inverse), then
+    # ONE wide row gather reproduces the volume-order coefficient plane
+    # the fused inverse kernels read directly.
+    deq = payload * quant.dequant_scalefac(mulfac)
+    deq = jax.lax.optimization_barrier(deq)
+    padded = jnp.concatenate(
+        [deq, jnp.zeros((1, deq.shape[1]), jnp.float32)], axis=0
+    )
+    plane = jnp.take(padded, invmap, axis=0)
+    return _codec._inverse_from_plane(plane, vol_shape, block, on_tpu)
+
+
+def _use_plane_rows(vol_shape, block):
+    """Plane-row representation gate: the fused stripe inverse envelope
+    (geometry-only — the staged inverse handles the same plane layout on
+    non-TPU backends, so the representation is backend-independent)."""
+    from .ops import fused_inverse as fi
+
+    return fi.stripe_inverse_ok(vol_shape, block)
+
+
+def _plane_dims(vol_shape, block):
+    nz, ny, nx = vol_shape
+    bx, by, bz = block
+    nbz, nby, nbx = -(-nz // bz), -(-ny // by), -(-nx // bx)
+    nbx2 = wavelet.padded_nbx(nbx, bx)
+    return nbz, nby, nbx, nbx2
+
+
 @functools.partial(
     jax.jit, static_argnames=("vol_shape", "block", "chunk", "on_tpu")
 )
@@ -133,6 +204,7 @@ class DeviceSnapshotStack:
         self.scale = float(scale)
         self.block = (bx, by, bz)
         self.chunk = rle_device.chunk_cells(bx * by * bz)
+        self._plane = _use_plane_rows(self.vol_shape, self.block)
         self._snaps = []
         # speculative capacity: appends dispatch against the last-known
         # bucket without a blocking count readback (the count is fetched
@@ -147,9 +219,14 @@ class DeviceSnapshotStack:
         """Compress a device (or host) volume into the stack; returns index."""
         vol = jnp.asarray(vol, jnp.float32)
         assert vol.shape == self.vol_shape, (vol.shape, self.vol_shape)
-        fiv, mask, ranks, acount, mulfac = _snap_encode(
-            vol, jnp.float32(self.scale), self.block, self.chunk
-        )
+        if self._plane:
+            fiv, mask, ranks, acount, mulfac = _snap_encode_plane(
+                vol, jnp.float32(self.scale), self.block
+            )
+        else:
+            fiv, mask, ranks, acount, mulfac = _snap_encode(
+                vol, jnp.float32(self.scale), self.block, self.chunk
+            )
         try:  # start the d2h early so validation rarely blocks
             acount.copy_to_host_async()
         except Exception:
@@ -185,6 +262,11 @@ class DeviceSnapshotStack:
 
         self.flush()
         payload, invmap, mulfac, _ = self._snaps[i]
+        if self._plane:
+            return _snap_decode_plane(
+                payload, invmap, mulfac, self.vol_shape, self.block,
+                on_tpu=_codec.use_pallas(),
+            )
         return _snap_decode(
             payload, invmap, mulfac, self.vol_shape, self.block, self.chunk,
             on_tpu=_codec.use_pallas(),
@@ -215,6 +297,30 @@ class DeviceSnapshotStack:
 
     # ---------------------------------------------- container conversion
 
+    def dense_fiv(self, i):
+        """Snapshot i's scaled integers as a dense BLOCK-MAJOR (nnn, cells)
+        float32 array (host) — the representation-agnostic view container
+        conversion and parity tests use."""
+        self.flush()
+        payload, invmap, _, acount = self._snaps[i]
+        inv = np.asarray(invmap)
+        rows = np.asarray(payload[:acount]) if acount else \
+            np.zeros((0, payload.shape[1]), F32)
+        dense = np.zeros((inv.size, payload.shape[1]), dtype=F32)
+        live = inv < payload.shape[0]
+        if acount:
+            dense[live] = rows[inv[live]]
+        bx, by, bz = self.block
+        cells = bx * by * bz
+        if not self._plane:
+            nnn = inv.size // (cells // self.chunk)
+            return dense.reshape(nnn, cells)
+        nbz, nby, nbx, nbx2 = _plane_dims(self.vol_shape, self.block)
+        p6 = dense.reshape(nbz, bz, nby, by, nbx2, bx)
+        return np.ascontiguousarray(
+            p6.transpose(0, 2, 4, 1, 3, 5)[:, :, :nbx]
+        ).reshape(nbz * nby * nbx, cells)
+
     def to_container(self, i):
         """Snapshot i -> portable byte-stream container (through the host).
 
@@ -227,20 +333,9 @@ class DeviceSnapshotStack:
         carries the stack's actual mulfac.
         """
         self.flush()
-        payload, invmap, mulfac_dev, acount = self._snaps[i]
         nz, ny, nx = self.vol_shape
-        bx, by, bz = self.block
-        cells = bx * by * bz
-        mulfac = F32(np.asarray(mulfac_dev))
-
-        fiv_rows = np.asarray(payload[:acount])
-        inv = np.asarray(invmap)
-        nnn = inv.size // (cells // self.chunk)
-        dense = np.zeros((inv.size, self.chunk), dtype=F32)
-        live = inv < payload.shape[0]
-        if acount:
-            dense[live] = fiv_rows[inv[live]]
-        coeffs = dense.reshape(nnn, cells)
+        mulfac = F32(np.asarray(self._snaps[i][2]))
+        coeffs = self.dense_fiv(i)
         return _encode_fiv_container(
             coeffs, mulfac, (nx, ny, nz), self.block
         )
@@ -285,12 +380,22 @@ class DeviceSnapshotStack:
             fiv[is_raw] = (
                 fiv[is_raw] * F32(hdr.glob_mulfac)
             ).astype(F32)
-        cells = hdr.bx * hdr.by * hdr.bz
-        rows = fiv.reshape(-1, self.chunk)
+        bx, by, bz = self.block
+        if self._plane:
+            nbz, nby, nbx, nbx2 = _plane_dims(self.vol_shape, self.block)
+            b6 = fiv.reshape(nbz, nby, nbx, bz, by, bx)
+            if nbx2 > nbx:
+                b6 = np.pad(b6, ((0, 0), (0, 0), (0, nbx2 - nbx),
+                                 (0, 0), (0, 0), (0, 0)))
+            rows = np.ascontiguousarray(
+                b6.transpose(0, 3, 1, 4, 2, 5)
+            ).reshape(nbz * bz * nby * by, nbx2 * bx)
+        else:
+            rows = fiv.reshape(-1, self.chunk)
         live = rows.any(axis=1)
         acount = int(live.sum())
         acap = rle_device.bucket(acount, lo=1)
-        pay = np.zeros((acap, self.chunk), dtype=F32)
+        pay = np.zeros((acap, rows.shape[1]), dtype=F32)
         pay[:acount] = rows[live]
         inv = np.full(rows.shape[0], acap, dtype=np.int32)
         inv[live] = np.arange(acount, dtype=np.int32)

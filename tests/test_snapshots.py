@@ -138,14 +138,7 @@ def test_snapshot_append_vs_codec_quantization_step():
     )
     store = DeviceSnapshotStack(vol.shape, 1e-2, block=block)
     i = store.append(vol)
-    store.flush()
-    payload, invmap, mulfac_dev, acount = store._snaps[i]
-    inv = np.asarray(invmap)
-    rows = np.asarray(payload)
-    dense = np.zeros((inv.size, store.chunk), np.float32)
-    live = inv < rows.shape[0]
-    dense[live] = rows[inv[live]]
-    fiv_stack = dense.reshape(iv_codec.shape)
+    fiv_stack = store.dense_fiv(i).reshape(iv_codec.shape)
     assert np.abs(fiv_stack - iv_codec).max() <= 1.0
 
 
@@ -160,6 +153,26 @@ def test_snapshot_container_roundtrip_chain():
     a = np.asarray(s1.get(0))
     b = np.asarray(s2.get(0))
     np.testing.assert_array_equal(a.view(np.uint32), b.view(np.uint32))
+
+
+def test_snapshot_chunk_mode_geometry():
+    """Geometries outside the stripe-inverse envelope (bx=128) keep the
+    chunk-sparse representation; both container directions still hold."""
+    import cvxcompress_tpu as cvx
+
+    vol = make_radial_volume(nz=16, ny=8, nx=128)
+    store = DeviceSnapshotStack(vol.shape, 1e-2, block=(128, 8, 8))
+    assert not store._plane
+    i = store.append(vol)
+    out = np.asarray(store.get(i))
+    err, _ = rel_error_and_snr(vol, out)
+    assert err < 2e-2
+    data = store.to_container(i)
+    j = store.from_container(data)
+    np.testing.assert_array_equal(
+        np.asarray(store.get(j)).view(np.uint32),
+        np.asarray(cvx.decompress(data)).view(np.uint32),
+    )
 
 
 def test_snapshot_pending_bounded():
