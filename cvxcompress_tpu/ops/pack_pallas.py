@@ -239,20 +239,25 @@ def _kernel(fv_ref, dsc_ref, s5_ref, sall_ref, out_ref, *, out_cols=SQ):
     )
 
     # --- MXU spread into cell-major staging: staging[:, 5i+k] = plane_k[:, i]
-    # HIGHEST precision: default f32 dots use bf16 MXU passes, which would
-    # corrupt integer payloads above 256 (dist bases reach 5*Q = 640)
+    # DEFAULT precision (ONE bf16 MXU pass) is EXACT here: the operands
+    # are byte values (0..255, inside bf16's 8-bit integer range) and the
+    # selection matrices are one-hot per column, so each output is a
+    # single product with no accumulation rounding (round-5 fix: HIGHEST
+    # ran ~6 passes per dot and made this kernel the pack's hot spot —
+    # +3.1 ms of the CI config's 5.4 ms pack, probe_pack bisect)
+    lo = jax.lax.Precision.DEFAULT
     hi = jax.lax.Precision.HIGHEST
     s5 = s5_ref[:]  # (5, Q, SQ) selection matrices
     staging = jnp.dot(plane0.astype(F32), s5[0],
-                      preferred_element_type=F32, precision=hi)
+                      preferred_element_type=F32, precision=lo)
     staging += jnp.dot(plane1.astype(F32), s5[1],
-                       preferred_element_type=F32, precision=hi)
+                       preferred_element_type=F32, precision=lo)
     staging += jnp.dot(plane2.astype(F32), s5[2],
-                       preferred_element_type=F32, precision=hi)
+                       preferred_element_type=F32, precision=lo)
     staging += jnp.dot(plane3.astype(F32), s5[3],
-                       preferred_element_type=F32, precision=hi)
+                       preferred_element_type=F32, precision=lo)
     staging += jnp.dot(plane4.astype(F32), s5[4],
-                       preferred_element_type=F32, precision=hi)
+                       preferred_element_type=F32, precision=lo)
     staging = staging.astype(I32)
 
     # --- per-byte move distances: dist[5i+k] = 5i - off_i (live), -1 dead
@@ -262,6 +267,8 @@ def _kernel(fv_ref, dsc_ref, s5_ref, sall_ref, out_ref, *, out_cols=SQ):
         ps_ = ps_ + jnp.where(lane >= s, pltpu.roll(ps_, s, 1), 0)
     off = ps_ - cost  # exclusive
     base = 5 * lane - off
+    # dist bases reach 5*Q = 640 > bf16's exact-integer range: these two
+    # one-hot dots stay HIGHEST (the chunk kernel's lane domain is 128)
     sall = sall_ref[:]  # (Q, SQ) sum of selections
     d0 = jnp.dot((base + 1).astype(F32), sall,
                  preferred_element_type=F32, precision=hi)
@@ -412,22 +419,28 @@ def _kernel_seg(fv_ref, dsc_ref, s5_ref, sall_ref, out_ref, *, bx, pitch,
         _byte(fvb, 3),
     )
 
+    # DEFAULT-precision one-hot spreads: byte operands (0..255) through
+    # one-hot columns are exact in a single bf16 MXU pass (see _kernel's
+    # round-5 note; this was +3.1 ms of the CI config's pack)
+    lo = jax.lax.Precision.DEFAULT
     hi = jax.lax.Precision.HIGHEST
     s5 = s5_ref[:]  # (5, Q, out_cols) per-segment selection matrices
     staging = jnp.dot(plane0.astype(F32), s5[0],
-                      preferred_element_type=F32, precision=hi)
+                      preferred_element_type=F32, precision=lo)
     staging += jnp.dot(plane1.astype(F32), s5[1],
-                       preferred_element_type=F32, precision=hi)
+                       preferred_element_type=F32, precision=lo)
     staging += jnp.dot(plane2.astype(F32), s5[2],
-                       preferred_element_type=F32, precision=hi)
+                       preferred_element_type=F32, precision=lo)
     staging += jnp.dot(plane3.astype(F32), s5[3],
-                       preferred_element_type=F32, precision=hi)
+                       preferred_element_type=F32, precision=lo)
     staging += jnp.dot(plane4.astype(F32), s5[4],
-                       preferred_element_type=F32, precision=hi)
+                       preferred_element_type=F32, precision=lo)
     staging = staging.astype(I32)
 
     # per-byte move distances WITHIN each segment: off = segment-local
-    # exclusive prefix of cost, dist[pitch*g + 5q + k] = 5q - off_q
+    # exclusive prefix of cost, dist[pitch*g + 5q + k] = 5q - off_q.
+    # The dist-base dot is exact at DEFAULT only while its operands stay
+    # inside bf16's integer range: base+1 <= 5*(bx-1)+1 <= 256 iff bx<=51
     ps_ = cost
     s = 1
     while s < bx:
@@ -436,10 +449,11 @@ def _kernel_seg(fv_ref, dsc_ref, s5_ref, sall_ref, out_ref, *, bx, pitch,
     off = ps_ - cost
     base = 5 * gl - off
     sall = sall_ref[:]
+    pd = lo if 5 * (bx - 1) + 1 <= 256 else hi
     d0 = jnp.dot((base + 1).astype(F32), sall,
-                 preferred_element_type=F32, precision=hi)
+                 preferred_element_type=F32, precision=pd)
     cost5 = jnp.dot(cost.astype(F32), sall,
-                    preferred_element_type=F32, precision=hi)
+                    preferred_element_type=F32, precision=pd)
     ocols = jax.lax.broadcasted_iota(I32, (gr, out_cols), 1)
     u = ocols % pitch  # position within the segment's staging slot
     kcol = u % 5

@@ -645,13 +645,23 @@ def pack_active_stripe_seg(fv3, d3, cbrow, raw, tcap, lcap, bcap,
         meta_row = sid_flat
     # ONE compaction over the subrow domain carries the subrow index,
     # the sort key (or segment id), and the subrow's live bytes (the
-    # block-order path drops the segment-bytes row — unused there)
+    # block-order path drops the segment-bytes row — unused there).
+    # Round 5: the subrow index (< nsr < 2^24 whenever block order is
+    # legal) and its live bytes (<= SUBROW, 7 bits) pack into ONE i32
+    # row, so the block-order compaction carries 2 rows instead of 3 —
+    # compaction traffic scales with carried rows.
     key2d = meta_row[:, None] + (spi if block_order else 0)
+    pack_ib = block_order and nsr < (1 << 24)
+    if pack_ib:
+        idx_row = jnp.arange(nsr, dtype=I32) * 128 + sub_bytes
+    else:
+        idx_row = jnp.arange(nsr, dtype=I32)
     rows = [
-        jnp.arange(nsr, dtype=I32),
+        idx_row,
         jnp.broadcast_to(key2d, (tcap * rpc, spseg)).reshape(nsr),
-        sub_bytes,
     ]
+    if not pack_ib:
+        rows.append(sub_bytes)
     if not block_order:
         rows.insert(2, jnp.broadcast_to(
             sb_flat[:, None], (tcap * rpc, spseg)
@@ -664,8 +674,13 @@ def pack_active_stripe_seg(fv3, d3, cbrow, raw, tcap, lcap, bcap,
     )
     lcount = count2[0]
     live = jnp.arange(nsr, dtype=I32) < lcount
-    lidx = _fit(jnp.where(live, packed2[0][0], 0), lcap)
-    blive = _fit(jnp.where(live, packed2[0][nrows - 1], 0), lcap)
+    if pack_ib:
+        ib = jnp.where(live, packed2[0][0], 0)
+        lidx = _fit(ib // 128, lcap)
+        blive = _fit(ib % 128, lcap)
+    else:
+        lidx = _fit(jnp.where(live, packed2[0][0], 0), lcap)
+        blive = _fit(jnp.where(live, packed2[0][nrows - 1], 0), lcap)
     if block_order:
         imax = jnp.iinfo(I32).max
         key = _fit(jnp.where(live, packed2[0][1], imax), lcap, fill=imax)

@@ -34,9 +34,23 @@ def _build():
     src = os.path.join(_NATIVE_DIR, "cvx_host.cpp")
     if not os.path.exists(src):
         return False
-    res = subprocess.run(
-        ["make", "-C", os.path.abspath(_NATIVE_DIR), "-s"], capture_output=True
-    )
+    # cross-PROCESS lock (pytest-xdist workers, parallel tools): two
+    # concurrent `make` runs would race on the .so
+    import fcntl
+    import tempfile
+
+    lockpath = os.path.join(tempfile.gettempdir(), "cvxhost_build.lock")
+    with open(lockpath, "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        try:
+            if os.path.exists(_SO_PATH):
+                return True
+            res = subprocess.run(
+                ["make", "-C", os.path.abspath(_NATIVE_DIR), "-s"],
+                capture_output=True,
+            )
+        finally:
+            fcntl.flock(lf, fcntl.LOCK_UN)
     return res.returncode == 0 and os.path.exists(_SO_PATH)
 
 

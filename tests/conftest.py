@@ -22,15 +22,33 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", _platform)
 # persistent compilation cache: the decoder/codec programs are large and
-# dominate CPU suite time on repeat runs
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("CVX_TEST_JAX_CACHE", "/tmp/cvx_jax_test_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# dominate CPU suite time on repeat runs.  CVX_TEST_JAX_CACHE=off disables
+# it entirely (failure-isolation switch; the cache serializer has crashed
+# on this image — see round-5 notes).
+_cache = os.environ.get("CVX_TEST_JAX_CACHE", "/tmp/cvx_jax_test_cache")
+if _cache and _cache != "off":
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import contextlib  # noqa: E402
+import fcntl  # noqa: E402
+import tempfile  # noqa: E402
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+@contextlib.contextmanager
+def file_lock(name):
+    """Cross-process build lock (the suite runs under pytest-xdist: two
+    workers must not compile into the same /tmp build tree at once)."""
+    path = os.path.join(tempfile.gettempdir(), f"{name}.lock")
+    with open(path, "w") as f:
+        fcntl.flock(f, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(f, fcntl.LOCK_UN)
 
 
 @pytest.fixture

@@ -40,36 +40,48 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.fixture(scope="module")
 def ref_lib():
+    from conftest import file_lock
+
     build = os.path.join(tempfile.gettempdir(), "cvx_ref_build")
     so = os.path.join(build, "libcvxcompress.so")
-    if not os.path.exists(so):
-        shutil.rmtree(build, ignore_errors=True)
-        shutil.copytree(REF, build)
-        # the simde submodule is not vendored; on x86-64 the real
-        # intrinsics headers are a drop-in replacement
-        for f in ("CvxCompress.cpp", "Run_Length_Encode_Slow.cpp",
-                  "Block_Copy.hxx"):
-            p = os.path.join(build, f)
-            s = open(p).read().replace(
-                '#include "simde/x86/avx512.h"', "#include <immintrin.h>"
-            )
-            open(p, "w").write(s)
-        p = os.path.join(build, "Wavelet_Transform_Slow.cpp")
-        s = open(p).read().replace(
-            'fprintf(fp,"#include \\"simde/x86/avx.h\\"  '
-            '// AVX intrinsics\\n\\n");',
-            'fprintf(fp,"#include <immintrin.h>\\n\\n");',
-        )
-        open(p, "w").write(s)
-        res = subprocess.run(
-            ["make", "libcvxcompress.so"], cwd=build, capture_output=True
-        )
-        if res.returncode != 0:
-            pytest.skip(f"reference build failed: {res.stderr.decode()[-300:]}")
+    # cross-process lock: pytest-xdist workers share the /tmp build tree
+    with file_lock("cvx_ref_build"):
+        if not os.path.exists(so):
+            _build_ref(build)
 
     lib = ctypes.CDLL(so)
     f32p = ctypes.POINTER(ctypes.c_float)
     u32p = ctypes.POINTER(ctypes.c_uint)
+    return _bind(lib, f32p, u32p)
+
+
+def _build_ref(build):
+    shutil.rmtree(build, ignore_errors=True)
+    shutil.copytree(REF, build)
+    # the simde submodule is not vendored; on x86-64 the real
+    # intrinsics headers are a drop-in replacement
+    for f in ("CvxCompress.cpp", "Run_Length_Encode_Slow.cpp",
+              "Block_Copy.hxx"):
+        p = os.path.join(build, f)
+        s = open(p).read().replace(
+            '#include "simde/x86/avx512.h"', "#include <immintrin.h>"
+        )
+        open(p, "w").write(s)
+    p = os.path.join(build, "Wavelet_Transform_Slow.cpp")
+    s = open(p).read().replace(
+        'fprintf(fp,"#include \\"simde/x86/avx.h\\"  '
+        '// AVX intrinsics\\n\\n");',
+        'fprintf(fp,"#include <immintrin.h>\\n\\n");',
+    )
+    open(p, "w").write(s)
+    res = subprocess.run(
+        ["make", "libcvxcompress.so"], cwd=build, capture_output=True
+    )
+    if res.returncode != 0:
+        pytest.skip(f"reference build failed: {res.stderr.decode()[-300:]}")
+
+
+def _bind(lib, f32p, u32p):
     lib.cvx_compress.restype = ctypes.c_float
     lib.cvx_compress.argtypes = [
         ctypes.c_float, f32p,

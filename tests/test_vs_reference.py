@@ -28,17 +28,23 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.fixture(scope="module")
 def ref_lib():
+    from conftest import file_lock
+
     so_path = os.path.join(tempfile.gettempdir(), "ref_slow_wavelet.so")
-    if not os.path.exists(so_path):
-        res = subprocess.run(
-            [
-                "g++", "-O2", "-fopenmp", "-fPIC", "-shared",
-                "-ffp-contract=off", REF_SRC, "-o", so_path,
-            ],
-            capture_output=True,
-        )
-        if res.returncode != 0:
-            pytest.skip(f"reference build failed: {res.stderr.decode()[:200]}")
+    with file_lock("ref_slow_wavelet"):  # xdist workers share /tmp
+        if not os.path.exists(so_path):
+            res = subprocess.run(
+                [
+                    "g++", "-O2", "-fopenmp", "-fPIC", "-shared",
+                    "-ffp-contract=off", REF_SRC, "-o", so_path + ".tmp",
+                ],
+                capture_output=True,
+            )
+            if res.returncode != 0:
+                pytest.skip(
+                    f"reference build failed: {res.stderr.decode()[:200]}"
+                )
+            os.replace(so_path + ".tmp", so_path)
     lib = ctypes.CDLL(so_path)
     # resolve the C++-mangled symbol names
     syms = subprocess.run(["nm", "-D", so_path], capture_output=True, text=True)

@@ -94,7 +94,7 @@ def pack_prefix(fv3, d3, cbrow, raw, tcap, lcap, bcap, plane_geom, stage):
         (trow < tcount)[:, None], jnp.take(cb_t3, tidx, axis=0), 0
     )
     if stage == "gathers":
-        return gf[0] + gd[0] + gcb[0].astype(jnp.float32)
+        return gf[0, 0] + gd[0, 0] + gcb[0, 0].astype(jnp.float32)
 
     packed = pack_pallas.pack_staging_seg(gf, gd, bx).astype(U8)
     if stage == "staging":
