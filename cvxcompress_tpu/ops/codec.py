@@ -394,6 +394,7 @@ def _encode_device(vol_dev, glob_mulfac, scale, use_local, block, chunk):
                 vol_dev,
                 jnp.float32(scale) if use_local else jnp.float32(glob_mulfac),
                 shape, block, use_local=use_local,
+                onek=use_local and fc.local_onek(),
             )
         else:
             fv, desc, cb, sizes, raw, counts = fc.tokenize_desc_fused(

@@ -341,6 +341,57 @@ def _kernel_block_casc_local(v_ref, opz_ref, opxt_ref, opy_ref, sc_ref,
     mfo_ref[0, :, :] = jnp.full((8, 128), mf, jnp.float32)
 
 
+def local_onek():
+    """Round-5 single-kernel local-RMS gate (CVX_LOCAL_ONEK=1).
+
+    The round-4 bisect found ANY reduce+tokenize combination crosses a
+    Mosaic compile cliff (tpu_compile_helper dies after ~86 s, no
+    diagnostics), forcing the two-kernel L1/L2 split and an extra HBM
+    round trip of the coefficient plane (~1.6 ms at 384^3; local-RMS
+    recorded at 0.76x of global in BENCH_dev_r05).  This variant dodges
+    the cliff by expressing the RMS reduction as MXU dots (elementwise
+    accumulate over z-slices, then two ones-matmuls) — no vector-unit
+    reduce op anywhere in the kernel.  Off by default until validated
+    on the real toolchain."""
+    import os
+
+    return os.environ.get("CVX_LOCAL_ONEK", "0") == "1"
+
+
+def _kernel_block_local1(v_ref, opz_ref, opxt_ref, opy_ref, sc_ref,
+                         fv_ref, desc_ref, mfo_ref, sA, *, split):
+    """Local-RMS SINGLE kernel: cascades + in-VMEM block RMS + scale +
+    tokenize, one VMEM residency per block (mirrors _kernel_block; the
+    RMS uses matmul reductions only — see local_onek's cliff note).
+
+    The accumulation order (elementwise Σ_z t∘t, then ones-dots) differs
+    from the two-kernel L1's per-row sums; both are f32 and land within
+    the staged path's 1e-5 mulfac contract (test_block_kernel_local_rms).
+    """
+    hi = jax.lax.Precision.HIGHEST
+    opz = opz_ref[:]
+    opxt = opxt_ref[:]
+    opy = opy_ref[:]
+    for y in range(B):
+        t = v_ref[:, y, :]
+        t = tp.mxu_dot3(opz, t, split)
+        sA[y, :, :] = tp.mxu_dot3(t, opxt, split)
+    acc = jnp.zeros((B, B), jnp.float32)
+    for z in range(B):
+        t = tp.mxu_dot3(opy, sA[:, z, :], split)
+        fv_ref[z * B : (z + 1) * B, :] = t
+        acc = acc + t * t
+    ones8 = jnp.ones((8, B), jnp.float32)
+    colsum = jax.lax.dot(ones8, acc, precision=hi)  # (8, B), rows equal
+    tot = jax.lax.dot(colsum, ones8.T, precision=hi)  # (8, 8), all equal
+    rms = jnp.sqrt(tot[0, 0] / jnp.float32(B * B * B))
+    mf = jnp.float32(1.0) / (rms * sc_ref[0, 0])
+    mf = jnp.where(rms == 0.0, jnp.float32(1.0), mf)
+    mf = jnp.where(jnp.isfinite(mf), mf, jnp.float32(1.0))
+    mfo_ref[0, :, :] = jnp.full((8, 128), mf, jnp.float32)
+    _block_tokenize_tail(fv_ref, desc_ref, mf=mf)
+
+
 def _kernel_scale_tok(v_ref, w_ref, mf_ref, mfn_ref, fv_ref, desc_ref,
                       carry_ref, *, ncpb):
     """Local-RMS L2 kernel: per-TR-tile scale + tokenize of the UNSCALED
@@ -365,14 +416,16 @@ def _kernel_scale_tok(v_ref, w_ref, mf_ref, mfn_ref, fv_ref, desc_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("vol_shape3", "use_local", "interpret")
+    jax.jit, static_argnames=("vol_shape3", "use_local", "onek",
+                              "interpret")
 )
 def tokenize_block_fused(vol, mulfac, vol_shape3, use_local=False,
-                         interpret=False):
+                         onek=False, interpret=False):
     """(nz, ny, nx) volume -> (fv_chunks, desc, mf), one kernel pass.
 
     With `use_local`, mulfac is the SCALE, the per-block RMS is computed
-    in-VMEM, and mf is the (nblocks,) mulfac table (else None)."""
+    in-VMEM, and mf is the (nblocks,) mulfac table (else None); `onek`
+    selects the single-kernel local variant (see local_onek)."""
     nz, ny, nx = vol_shape3
     nbz, nby, nbx = nz // B, ny // B, nx // B
     cells = B * B * B
@@ -389,6 +442,45 @@ def tokenize_block_fused(vol, mulfac, vol_shape3, use_local=False,
         byi = (b // nbx) % nby
         bxi = b % nbx
         return (bzi, byi, bxi)
+
+    if use_local and onek:
+        # SINGLE kernel: cascades + MXU-dot RMS + scale + tokenize
+        fv, desc, mfo = pl.pallas_call(
+            functools.partial(_kernel_block_local1, split=split),
+            grid=(nblocks,),
+            in_specs=[
+                pl.BlockSpec((B, B, B), in_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, B), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, B), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, B), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((cpb, 128), lambda b: (b, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((cpb, 128), lambda b: (b, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((nblocks * cpb, 128), jnp.float32),
+                jax.ShapeDtypeStruct((nblocks * cpb, 128), jnp.int32),
+                jax.ShapeDtypeStruct((nblocks, 8, 128), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((B, B, B), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(vol, opz, opxt, opy, mf)
+        return fv, desc, mfo[:, 0, 0]
 
     if use_local:
         # TWO kernels (see _kernel_block_casc_local's compile-cliff note)
@@ -500,10 +592,11 @@ def tokenize_block_fused(vol, mulfac, vol_shape3, use_local=False,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("vol_shape3", "block", "use_local", "interpret"),
+    static_argnames=("vol_shape3", "block", "use_local", "onek",
+                     "interpret"),
 )
 def tokenize_desc_block(vol, glob_mulfac, vol_shape3, block,
-                        use_local=False, interpret=False):
+                        use_local=False, onek=False, interpret=False):
     """Whole-block producer: same contract as tokenize_desc_fused, plus
     the per-block mulfac table when `use_local` (glob_mulfac = scale)."""
     from . import rle_device
@@ -511,7 +604,7 @@ def tokenize_desc_block(vol, glob_mulfac, vol_shape3, block,
     assert fused_path_ok(vol_shape3, block)
     cells = B * B * B
     fv, desc, mf = tokenize_block_fused(
-        vol, glob_mulfac, vol_shape3, use_local=use_local,
+        vol, glob_mulfac, vol_shape3, use_local=use_local, onek=onek,
         interpret=interpret,
     )
     nchunks = desc.shape[0]

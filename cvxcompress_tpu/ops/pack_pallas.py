@@ -542,3 +542,88 @@ def pack_staging(fv_rows, desc_rows, interpret=False, out_cols=SQ):
         interpret=interpret,
     )(fv_rows, desc_rows, jnp.asarray(s5), jnp.asarray(sall))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Tile-local flat compaction (round 5): the DENSE payload squeeze core.
+#
+# The final byte compaction of the stripe SEGMENT pack front-packs each
+# live subrow's bytes into the dense container stream: ~22 XLA log-shift
+# rounds over the (lcap*SUBROW,) staging, each materializing the values
+# AND their i32 distances to HBM (~2.2 ms of the CI config's compress).
+# This kernel runs a TILE-LOCAL compaction ((tile_rows, 128) blocks,
+# fully independent grid steps) in one VMEM residency each; the caller
+# finishes with a cheap cross-tile merge — after the kernel every tile
+# is a dense byte run, so the remaining deficits are one partial row per
+# tile boundary and the XLA finish compacts a ~payload-sized domain.
+#
+# Two tricks:
+#   * value+distance pack into ONE i32 lane (dist<<8 | byte; dead = -1):
+#     one roll per shift instead of two, half the VMEM footprint.
+#     Distances are TILE-LOCAL (< tile_rows*128 <= 2^16): i32 headroom.
+#   * a flat (1-D) shift by s over the (rows, 128) lane view is a lane
+#     roll + a row roll (+ a row-carry select when s % 128 != 0; every
+#     s = 2^k with k >= 7 is a pure sublane roll).
+#
+# A single-block whole-array variant (grid=(1,), one (28672, 128) block,
+# full-width row iota) WEDGED the remote TPU worker at compile time —
+# like the round-2 scalar-chase kernels, it never returned and took the
+# chip down for the session.  Keep blocks at proven sizes (the fused
+# tokenize-compact kernel rolls (1024, 128) tiles) and row iotas narrow.
+# ---------------------------------------------------------------------------
+
+TILE_ROWS = 512  # (512, 128) i32 tile = 256 KiB VMEM; rolls <= 511 rows
+
+
+def _kernel_tilec(c_ref, o_ref, *, rounds):
+    c = c_ref[:]  # (trc, 128) i32: local dist<<8 | byte, -1 dead
+    trc = c.shape[0]
+    lane = jax.lax.broadcasted_iota(I32, c.shape, 1)
+    rowc = jax.lax.broadcasted_iota(I32, (trc, 1), 0)
+    for k in range(rounds):
+        s = 1 << k
+        if s < Q:
+            # flat left-shift by s: within-row part + next-row carry
+            cp = pltpu.roll(c, Q - s, 1)
+            cq = pltpu.roll(cp, trc - 1, 0)
+            sel = lane < Q - s
+            inc = jnp.where(sel, cp, cq)
+            # flat positions past the tile end are dead
+            inc = jnp.where((rowc == trc - 1) & ~sel, -1, inc)
+        else:
+            r = s // Q
+            inc = pltpu.roll(c, trc - r, 0)
+            inc = jnp.where(rowc >= trc - r, -1, inc)
+        sbit = s << 8
+        take = (inc >= 0) & ((inc & sbit) != 0)
+        moveout = (c >= 0) & ((c & sbit) != 0)
+        c = jnp.where(take, inc - sbit, jnp.where(moveout, -1, c))
+    o_ref[:] = c
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
+def tile_compact(c, tile_rows=TILE_ROWS, interpret=False):
+    """Front-pack each (tile_rows, 128) tile of a flat stream in VMEM.
+
+    c: (m, 128) i32 lane view of the flat stream, each element packing
+    (tile-LOCAL move-left distance << 8) | byte_value for live bytes and
+    -1 for dead slots.  Within each tile distances must be non-decreasing
+    over live elements (the front-pack invariant, ops/pack.py).  Returns
+    the per-tile compacted view: each tile's live prefix holds dist==0
+    packed values, its tail -1.  Tiles are independent grid steps.
+    """
+    m, q = c.shape
+    assert q == Q and m % tile_rows == 0
+    rounds = int(np.ceil(np.log2(tile_rows * Q)))
+    return pl.pallas_call(
+        functools.partial(_kernel_tilec, rounds=rounds),
+        grid=(m // tile_rows,),
+        in_specs=[
+            pl.BlockSpec((tile_rows, Q), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_rows, Q), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, Q), jnp.int32),
+        interpret=interpret,
+    )(c)

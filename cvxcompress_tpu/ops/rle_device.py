@@ -694,21 +694,85 @@ def pack_active_stripe_seg(fv3, d3, cbrow, raw, tcap, lcap, bcap,
         lsb = _fit(jnp.where(live, packed2[0][2], 0), lcap)
     subrows = jnp.take(packed.reshape(nsr, SUBROW), lidx, axis=0)
 
-    # byte-compact the 32 B-granular subrow staging into the DENSE
-    # payload stream (round 3): segments average a few bytes, so the
-    # subrow staging is ~10x the live payload — d2h (and the host's
-    # assembly source) shrink to ~compressed size for ~21 u8 roll steps
-    bmask = (
-        jnp.arange(SUBROW, dtype=I32)[None, :] < blive[:, None]
-    ).reshape(lcap * SUBROW)
-    (bs,), bcount = pack.compact_live(
-        (subrows.reshape(lcap * SUBROW),), bmask,
-        pack.ceil_log2(lcap * SUBROW),
-    )
-    stream = _fit(
-        jnp.where(jnp.arange(lcap * SUBROW, dtype=I32) < bcount, bs, 0),
-        bcap,
-    ).astype(U8)
+    # byte-compact the subrow staging into the DENSE payload stream
+    # (round 3): segments average a few bytes, so the subrow staging is
+    # ~10x the live payload — d2h (and the host's assembly source)
+    # shrink to ~compressed size.  Round 5: every live byte of subrow i
+    # moves by the SAME distance (SUBROW*i - off_i, off = exclusive
+    # prefix of blive — within a subrow the live bytes are already a
+    # front-packed prefix), so value+distance pack into one i32 lane and
+    # the whole ~22-round log-shift runs in ONE VMEM residency
+    # (pack_pallas.flat_compact) instead of ~22 HBM round trips (~2.2 ms
+    # of the CI config's compress).
+    dom = lcap * SUBROW
+    m = dom // 128
+    trc = pack_pallas.TILE_ROWS
+    while trc > 8 and m % trc:
+        trc //= 2
+    if dom % 128 == 0 and m % trc == 0 and m >= trc and trc >= 8:
+        # tile-local Pallas compaction + row-granular cross-tile merge:
+        # every live byte of subrow i moves by the same distance
+        # (SUBROW*i - off_i; within a subrow the live bytes are already a
+        # front-packed prefix), so value+distance pack into one i32 lane
+        # and each (trc, 128) tile compacts in ONE VMEM residency.
+        # After the kernel each tile is a dense run: the cross-tile
+        # deficits are one partial 128-byte row per tile, so the XLA
+        # finish gathers the ~payload-sized dense prefixes at 128-byte
+        # ROW granularity and compacts a tiny domain.
+        spt = trc * 128 // SUBROW  # subrows per tile
+        off = jnp.cumsum(blive) - blive
+        off2 = off.reshape(-1, spt)
+        ldist = (
+            jnp.arange(spt, dtype=I32)[None, :] * SUBROW
+            - (off2 - off2[:, :1])
+        ).reshape(lcap)
+        cpk = jnp.where(
+            jnp.arange(SUBROW, dtype=I32)[None, :] < blive[:, None],
+            (ldist[:, None] << 8) | subrows.astype(I32),
+            -1,
+        )
+        cpk = pack_pallas.tile_compact(cpk.reshape(m, 128), trc)
+        vals = jnp.where(cpk >= 0, cpk & 255, 0).astype(U8)
+        # per-tile live bytes -> per-row live bytes of the dense prefixes
+        kt = jnp.sum(blive.reshape(-1, spt), axis=1)  # (ntiles,)
+        rowbytes = jnp.clip(
+            kt[:, None] - 128 * jnp.arange(trc, dtype=I32)[None, :], 0, 128
+        ).reshape(m)
+        ntiles = m // trc
+        rcap = -(-(-(-bcap // 128) + ntiles) // 8) * 8
+        (rpk,), rcount = pack.compact_live(
+            (jnp.stack([jnp.arange(m, dtype=I32), rowbytes]),),
+            jnp.broadcast_to(rowbytes > 0, (2, m)),
+            pack.ceil_log2(m),
+        )
+        rlive = jnp.arange(m, dtype=I32) < rcount[0]
+        ridx = _fit(jnp.where(rlive, rpk[0], 0), rcap)
+        rb = _fit(jnp.where(rlive, rpk[1], 0), rcap)
+        grows = jnp.take(vals, ridx, axis=0)  # (rcap, 128) u8 rows
+        # final deficit compaction: distances accumulate only at tile
+        # boundaries (< 128 per tile), so few rounds over ~payload bytes
+        bmask = (
+            jnp.arange(128, dtype=I32)[None, :] < rb[:, None]
+        ).reshape(rcap * 128)
+        (bs,), bcount = pack.compact_live(
+            (grows.reshape(rcap * 128),), bmask,
+            pack.ceil_log2(128 * ntiles),
+        )
+        stream = _fit(
+            jnp.where(jnp.arange(rcap * 128, dtype=I32) < bcount, bs, 0),
+            bcap,
+        ).astype(U8)
+    else:
+        bmask = (
+            jnp.arange(SUBROW, dtype=I32)[None, :] < blive[:, None]
+        ).reshape(dom)
+        (bs,), bcount = pack.compact_live(
+            (subrows.reshape(dom),), bmask, pack.ceil_log2(dom)
+        )
+        stream = _fit(
+            jnp.where(jnp.arange(dom, dtype=I32) < bcount, bs, 0),
+            bcap,
+        ).astype(U8)
     return stream, lsid, lsb
 
 

@@ -193,3 +193,29 @@ def test_block_kernel_local_rms(monkeypatch, rng):
     assert np.abs(a - b).max() <= step + 1e-30
     err = np.linalg.norm(b - vol) / np.linalg.norm(vol)
     assert err < 2e-2
+
+
+def test_block_kernel_local_rms_onek(monkeypatch, rng):
+    """CVX_LOCAL_ONEK=1 (single-kernel local-RMS, MXU-dot reduction):
+    mulfacs match the two-kernel fused path to ~1 ulp and the container
+    decodes within one quantization step of it."""
+    import cvxcompress_tpu.container as ctn
+
+    _interpret_kernels(monkeypatch)
+    shape, block = (128, 128, 256), (128, 128, 128)
+    vol = make_sinusoid_volume(*shape, periods=2)
+    vol = vol + (rng.standard_normal(shape) * 1e-3).astype(np.float32)
+    monkeypatch.setattr(jcodec, "use_pallas", lambda: True)
+    monkeypatch.setenv("CVX_FUSED_W", "block")
+    ref, _ = jcodec.compress(vol, 1e-2, block=block, use_local_rms=True)
+    monkeypatch.setenv("CVX_LOCAL_ONEK", "1")
+    got, _ = jcodec.compress(vol, 1e-2, block=block, use_local_rms=True)
+    mref = ctn.unpack(ref)[2]
+    mgot = ctn.unpack(got)[2]
+    np.testing.assert_allclose(mgot, mref, rtol=1e-5)
+    a = jcodec.decompress(ref, engine="host")
+    b = jcodec.decompress(got, engine="host")
+    step = (1.0 / np.abs(mref[mref != 0])).max()
+    assert np.abs(a - b).max() <= step + 1e-30
+    err = np.linalg.norm(b - vol) / np.linalg.norm(vol)
+    assert err < 2e-2

@@ -86,3 +86,46 @@ def test_patch_extract_interpret(rng):
                 od[i, k * bx : (k + 1) * bx],
                 gd[i, k, t, w * bx : (w + 1) * bx],
             )
+
+
+def test_tile_compact_interpret(rng):
+    """tile_compact (per-tile VMEM log-shift) front-packs each tile's
+    live bytes exactly: random live-prefix subrows, tile-local
+    distances, byte-exact vs a NumPy reference."""
+    import jax.numpy as jnp
+
+    from cvxcompress_tpu.ops import pack_pallas as pp
+
+    SUBROW = 64
+    trc = 16  # tile = (16, 128) = 2048 bytes = 32 subrows
+    lcap = 128  # 8192-byte domain = 64 lane rows = 4 tiles
+    spt = trc * 128 // SUBROW
+    blive = rng.integers(0, SUBROW + 1, lcap).astype(np.int32)
+    blive[-7:] = 0  # dead tail (cap padding)
+    subrows = rng.integers(0, 256, (lcap, SUBROW)).astype(np.uint8)
+    dom = lcap * SUBROW
+
+    off = np.cumsum(blive) - blive
+    off2 = off.reshape(-1, spt)
+    ldist = (
+        np.arange(spt)[None, :] * SUBROW - (off2 - off2[:, :1])
+    ).reshape(lcap)
+    cpk = np.where(
+        np.arange(SUBROW)[None, :] < blive[:, None],
+        (ldist[:, None].astype(np.int64) << 8) | subrows.astype(np.int64),
+        -1,
+    ).astype(np.int32)
+    got = np.asarray(
+        pp.tile_compact(
+            jnp.asarray(cpk.reshape(dom // 128, 128)), trc, interpret=True
+        )
+    ).reshape(-1, trc * 128)
+
+    want_mask = np.arange(SUBROW)[None, :] < blive[:, None]
+    for t in range(got.shape[0]):
+        rows = slice(t * spt, (t + 1) * spt)
+        tile_want = subrows[rows][want_mask[rows]]
+        n = tile_want.size
+        np.testing.assert_array_equal(got[t, :n] & 255, tile_want)
+        assert (got[t, :n] >> 8 == 0).all()  # packed prefix: dist 0
+        assert (got[t, n:] == -1).all()  # tail dead
